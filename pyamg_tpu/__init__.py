@@ -1,0 +1,47 @@
+"""pyamg_tpu — TPU-native algebraic multigrid (JAX/XLA/Pallas).
+
+A from-scratch framework with the capabilities of PyAMG (reference at
+``/root/reference``): multigrid hierarchies (classical Ruge-Stuben,
+smoothed aggregation, root-node, adaptive, pairwise, AIR), Krylov
+accelerators, smoothers, strength measures and graph algorithms — all
+designed as static-shape, data-parallel device programs rather than
+sequential CSR loops.
+"""
+
+__version__ = "0.1.0"
+
+from pyamg_tpu.sparse import ELL, BELL, from_scipy, to_scipy
+
+__all__ = ["ELL", "BELL", "from_scipy", "to_scipy"]
+
+
+def __getattr__(name):
+    # Lazy re-exports of the solver factories (avoid import cycles / cost).
+    if name in ("smoothed_aggregation_solver",):
+        from pyamg_tpu.aggregation import smoothed_aggregation_solver
+        return smoothed_aggregation_solver
+    if name in ("rootnode_solver",):
+        from pyamg_tpu.aggregation import rootnode_solver
+        return rootnode_solver
+    if name in ("pairwise_solver",):
+        from pyamg_tpu.aggregation import pairwise_solver
+        return pairwise_solver
+    if name in ("adaptive_sa_solver",):
+        from pyamg_tpu.aggregation import adaptive_sa_solver
+        return adaptive_sa_solver
+    if name in ("ruge_stuben_solver",):
+        from pyamg_tpu.classical import ruge_stuben_solver
+        return ruge_stuben_solver
+    if name in ("air_solver",):
+        from pyamg_tpu.classical import air_solver
+        return air_solver
+    if name in ("MultilevelSolver", "coarse_grid_solver"):
+        import pyamg_tpu.multilevel as ml
+        return getattr(ml, name)
+    if name in ("solve", "solver", "solver_configuration"):
+        import pyamg_tpu.blackbox as bb
+        return getattr(bb, name)
+    if name == "gallery":
+        import pyamg_tpu.gallery as gallery
+        return gallery
+    raise AttributeError(f"module 'pyamg_tpu' has no attribute {name!r}")

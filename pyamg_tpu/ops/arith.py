@@ -1,0 +1,83 @@
+"""Elementwise sparse algebra: add, scale, diagonal shifts, filters.
+
+These replace scipy-operator arithmetic the reference uses at setup
+(e.g. ``P = (I - omega*Dinv*A) @ T``, ``smooth.py:61``;
+row/column scaling, ``util/utils.py:145-294``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pyamg_tpu.sparse.matrix import ELL, BELL
+from pyamg_tpu.ops.rowops import ell_dedup
+
+
+def scale(A, alpha):
+    """alpha * A (works for ELL and BELL)."""
+    if isinstance(A, BELL):
+        return BELL(A.cols, A.vals * alpha, A.row_nnz, A.shape, A.blocksize)
+    return ELL(A.cols, A.vals * alpha, A.row_nnz, A.shape)
+
+
+def scale_rows(A: ELL, d: jax.Array) -> ELL:
+    """diag(d) @ A."""
+    return ELL(A.cols, A.vals * d[:, None], A.row_nnz, A.shape)
+
+
+def scale_cols(A: ELL, d: jax.Array) -> ELL:
+    """A @ diag(d)."""
+    return ELL(A.cols, A.vals * d[A.cols], A.row_nnz, A.shape)
+
+
+def add(A: ELL, B: ELL, width=None) -> ELL:
+    """A + B for conforming ELL matrices (setup-phase; width compaction)."""
+    assert A.shape == B.shape
+    cols = jnp.concatenate([A.cols, B.cols], axis=1)
+    vals = jnp.concatenate([A.vals, B.vals], axis=1)
+    valid = jnp.concatenate([A.valid_mask(), B.valid_mask()], axis=1)
+    return ell_dedup(cols, vals, valid, A.shape, width=width)
+
+
+def sub(A: ELL, B: ELL, width=None) -> ELL:
+    return add(A, scale(B, -1), width=width)
+
+
+def add_scaled_identity(A: ELL, alpha=1.0, beta=1.0, width=None) -> ELL:
+    """beta*I + alpha*A (square A)."""
+    n = A.shape[0]
+    eye_col = jnp.arange(n, dtype=jnp.int32)[:, None]
+    cols = jnp.concatenate([A.cols, eye_col], axis=1)
+    vals = jnp.concatenate(
+        [A.vals * alpha,
+         jnp.full((n, 1), beta, dtype=A.vals.dtype)], axis=1)
+    valid = jnp.concatenate(
+        [A.valid_mask(), jnp.ones((n, 1), bool)], axis=1)
+    return ell_dedup(cols, vals, valid, A.shape, width=width)
+
+
+def with_diagonal(A: ELL, d: jax.Array) -> ELL:
+    """Replace (or insert) the diagonal of A with vector d."""
+    n = A.shape[0]
+    rows = jnp.arange(n, dtype=jnp.int32)
+    isdiag = (A.cols == rows[:, None]) & A.valid_mask()
+    vals = jnp.where(isdiag, 0, A.vals)
+    eye_col = rows[:, None]
+    cols = jnp.concatenate([A.cols, eye_col], axis=1)
+    vals = jnp.concatenate([vals, d[:, None]], axis=1)
+    valid = jnp.concatenate([A.valid_mask(), jnp.ones((n, 1), bool)], axis=1)
+    return ell_dedup(cols, vals, valid, A.shape)
+
+
+def remove_diagonal(A: ELL) -> ELL:
+    """A with its diagonal entries dropped (reference ``util/utils.py:1699``)."""
+    n = A.shape[0]
+    rows = jnp.arange(n, dtype=jnp.int32)
+    keep = (A.cols != rows[:, None]) & A.valid_mask()
+    return ell_dedup(A.cols, A.vals, keep, A.shape)
+
+
+def filter_rows_by_mask(A: ELL, keep: jax.Array) -> ELL:
+    """Drop stored entries where ``keep`` (n, W) is False (recompacts)."""
+    return ell_dedup(A.cols, A.vals, keep & A.valid_mask(), A.shape)

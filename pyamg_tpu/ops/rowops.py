@@ -1,0 +1,75 @@
+"""Shared row-wise primitives for ELL algebra.
+
+The central trick: any op producing candidate (col, val) pairs per row
+(SpGEMM expansion, sparse add, filtering) is normalized by
+``dedup_rows``: per-row sort by column, coalesce duplicate columns by
+segment-add, and left-compact valid entries.  Everything is static-shape and
+vectorized over rows — the TPU-native replacement for the reference's
+sequential CSR builder loops (e.g. ``ruge_stuben.h:777-930``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyamg_tpu.sparse.matrix import ELL
+
+
+def dedup_rows(cols: jax.Array, vals: jax.Array, valid: jax.Array,
+               n_cols: int):
+    """Coalesce per-row candidate entries.
+
+    Args:
+      cols: (n, W) int32 candidate column indices.
+      vals: (n, W) candidate values.
+      valid: (n, W) bool; invalid entries are dropped.
+      n_cols: column dimension (used as the sort sentinel).
+
+    Returns:
+      (out_cols, out_vals, row_nnz): entries sorted by column and
+      left-compacted; slots >= row_nnz[i] are zero.  Static width W.
+    """
+    n, W = cols.shape
+    sent = jnp.int32(n_cols)
+    c = jnp.where(valid, cols.astype(jnp.int32), sent)
+    v = jnp.where(valid, vals, 0)
+    order = jnp.argsort(c, axis=1)
+    c = jnp.take_along_axis(c, order, axis=1)
+    v = jnp.take_along_axis(v, order, axis=1)
+    head = jnp.concatenate(
+        [jnp.ones((n, 1), bool), c[:, 1:] != c[:, :-1]], axis=1)
+    head = head & (c < sent)
+    pos = jnp.maximum(jnp.cumsum(head, axis=1) - 1, 0)
+    rows = jnp.arange(n, dtype=jnp.int32)[:, None]
+    out_vals = jnp.zeros_like(v).at[rows, pos].add(v)
+    out_cols = jnp.zeros_like(c).at[rows, pos].add(jnp.where(head, c, 0))
+    row_nnz = jnp.sum(head, axis=1).astype(jnp.int32)
+    # zero out the tail so padding invariants hold
+    k = jnp.arange(W, dtype=jnp.int32)[None, :]
+    tail = k >= row_nnz[:, None]
+    out_vals = jnp.where(tail, 0, out_vals)
+    out_cols = jnp.where(tail, 0, out_cols)
+    return out_cols, out_vals, row_nnz
+
+
+def compact_width(cols, vals, row_nnz, shape, width=None, min_width=1) -> ELL:
+    """Shrink padded width to max(row_nnz) (host sync — setup phase only)."""
+    if width is None:
+        width = max(int(jnp.max(row_nnz)) if row_nnz.shape[0] else 0, min_width)
+    width = min(width, cols.shape[1]) if cols.shape[1] > 0 else min_width
+    return ELL(cols[:, :width], vals[:, :width], row_nnz,
+               (int(shape[0]), int(shape[1])))
+
+
+def ell_dedup(cols, vals, valid, shape, width=None, min_width=1) -> ELL:
+    c, v, rn = dedup_rows(cols, vals, valid, shape[1])
+    return compact_width(c, v, rn, shape, width=width, min_width=min_width)
+
+
+def drop_explicit_zeros(A: ELL, tol: float = 0.0) -> ELL:
+    """Remove stored entries with |val| <= tol (keeps the diagonal slot out
+    of consideration — pure magnitude filter, diag handled by callers)."""
+    keep = (jnp.abs(A.vals) > tol) & A.valid_mask()
+    return ell_dedup(A.cols, A.vals, keep, A.shape)

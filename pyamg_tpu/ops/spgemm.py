@@ -1,0 +1,139 @@
+"""Sparse x sparse matrix products (SpGEMM) — the Galerkin triple product.
+
+Reference behavior: the reference leans on scipy's sequential SMMP CSR
+SpGEMM for ``A_coarse = R @ A @ P`` (``classical/classical.py:201``,
+``aggregation/aggregation.py:424``) and on a masked C++ SpGEMM
+(``smoothed_aggregation.h:970`` ``incomplete_mat_mult_bsr``) for
+energy-minimization smoothing.
+
+TPU design — row-expansion SpGEMM:
+
+  For ``C = A @ B`` with pad widths WA, WB, every output row is contained in
+  the union of B-rows selected by A's row, at most WA*WB candidates:
+
+      cand_cols[i] = B.cols[A.cols[i, :], :]          (WA, WB)
+      cand_vals[i] = A.vals[i, :, None] * B.vals[A.cols[i, :], :]
+
+  then a per-row sort + segment-coalesce (``rowops.dedup_rows``) produces the
+  output row.  Fully data-parallel, static shapes; XLA lowers the per-row
+  sort to its vectorized sorting network.  Output width is data-dependent,
+  so the public entry point compacts on host — SpGEMM is a *setup-phase* op
+  (the solve phase only ever runs SpMV).
+
+``masked_spgemm`` computes ``(A @ B)`` restricted to a given sparsity
+pattern (the ``incomplete_mat_mult_bsr`` equivalent): same expansion, then
+for each pattern slot a membership lookup via searchsorted into the
+coalesced candidates.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pyamg_tpu.sparse.matrix import ELL, BELL
+from pyamg_tpu.ops.rowops import dedup_rows, compact_width
+
+
+def _expand(A: ELL, B: ELL):
+    """Candidate (cols, vals, valid) of shape (n, WA*WB)."""
+    n = A.shape[0]
+    WA, WB = A.width, B.width
+    ac = A.cols                                   # (n, WA)
+    bc = B.cols[ac]                               # (n, WA, WB)
+    bv = B.vals[ac]
+    prod = A.vals[:, :, None] * bv
+    valid = A.valid_mask()[:, :, None] & B.valid_mask()[ac]
+    return (bc.reshape(n, WA * WB), prod.reshape(n, WA * WB),
+            valid.reshape(n, WA * WB))
+
+
+def spgemm(A: ELL, B: ELL, width=None) -> ELL:
+    """C = A @ B. Setup-phase (host width compaction)."""
+    assert A.shape[1] == B.shape[0], (A.shape, B.shape)
+    shape = (A.shape[0], B.shape[1])
+    cols, vals, valid = _expand(A, B)
+    c, v, rn = _dedup_jit(cols, vals, valid, B.shape[1])
+    return compact_width(c, v, rn, shape, width=width)
+
+
+@jax.jit
+def _dedup_jit(cols, vals, valid, n_cols):
+    return dedup_rows(cols, vals, valid, n_cols)
+
+
+def masked_spgemm(A: ELL, B: ELL, pattern_cols: jax.Array,
+                  pattern_valid: jax.Array) -> jax.Array:
+    """vals such that ELL(pattern_cols, vals) == (A @ B) restricted to pattern.
+
+    ``pattern_cols`` must be column-sorted per row (the ELL invariant).
+    Entries of A@B outside the pattern are *dropped* (reference semantics:
+    ``incomplete_mat_mult_bsr`` only accumulates into pre-existing slots).
+    Jittable: all shapes static.
+    """
+    cols, vals, valid = _expand(A, B)
+    c, v, _ = dedup_rows(cols, vals, valid, B.shape[1])
+    # For each pattern slot, find its column among the coalesced candidates.
+    # c rows are sorted ascending with sentinel-free zero tail — but tail
+    # zeros break searchsorted; re-sentinel the tail to n_cols.
+    W = c.shape[1]
+    k = jnp.arange(W, dtype=jnp.int32)[None, :]
+    # tail detection: positions with value 0 beyond the first slot whose col
+    # is 0 are padding; reconstruct validity from dedup row_nnz instead:
+    # (dedup_rows zeroes the tail; recompute via monotonicity break)
+    nondecr = jnp.concatenate(
+        [jnp.ones((c.shape[0], 1), bool), c[:, 1:] > c[:, :-1]], axis=1)
+    valid_c = jnp.cumprod(nondecr, axis=1).astype(bool)
+    cs = jnp.where(valid_c, c, B.shape[1])
+    idx = jax.vmap(jnp.searchsorted)(cs, pattern_cols)
+    idx = jnp.clip(idx, 0, W - 1)
+    hit = jnp.take_along_axis(cs, idx, axis=1) == pattern_cols
+    out = jnp.take_along_axis(v, idx, axis=1)
+    return jnp.where(hit & pattern_valid, out, 0)
+
+
+def spgemm_bell(A: BELL, B: BELL, width=None) -> BELL:
+    """Block SpGEMM: C = A @ B with conforming blocksizes."""
+    assert A.blocksize[1] == B.blocksize[0]
+    nb = A.n_block_rows
+    WA, WB = A.width, B.width
+    ac = A.cols
+    bc = B.cols[ac]                                   # (nb, WA, WB)
+    bv = B.vals[ac]                                   # (nb, WA, WB, bi, bj)
+    prod = jnp.einsum("nwij,nwvjk->nwvik", A.vals, bv)
+    valid = A.valid_mask()[:, :, None] & B.valid_mask()[ac]
+    cand_cols = bc.reshape(nb, WA * WB)
+    cand_valid = valid.reshape(nb, WA * WB)
+    br, bc_ = A.blocksize[0], B.blocksize[1]
+    cand_vals = prod.reshape(nb, WA * WB, br, bc_)
+    c, v, rn = _dedup_blocks(cand_cols, cand_vals, cand_valid,
+                             B.n_block_cols)
+    if width is None:
+        width = max(int(jnp.max(rn)) if nb else 0, 1)
+    width = min(width, c.shape[1]) if c.shape[1] else 1
+    return BELL(c[:, :width], v[:, :width], rn,
+                (A.shape[0], B.shape[1]), (br, bc_))
+
+
+def _dedup_blocks(cols, vals, valid, n_cols):
+    """dedup_rows generalized to block values (n, W, br, bc)."""
+    n, W = cols.shape
+    sent = jnp.int32(n_cols)
+    c = jnp.where(valid, cols.astype(jnp.int32), sent)
+    v = jnp.where(valid[:, :, None, None], vals, 0)
+    order = jnp.argsort(c, axis=1)
+    c = jnp.take_along_axis(c, order, axis=1)
+    v = jnp.take_along_axis(v, order[:, :, None, None], axis=1)
+    head = jnp.concatenate(
+        [jnp.ones((n, 1), bool), c[:, 1:] != c[:, :-1]], axis=1)
+    head = head & (c < sent)
+    pos = jnp.maximum(jnp.cumsum(head, axis=1) - 1, 0)
+    rows = jnp.arange(n, dtype=jnp.int32)[:, None]
+    out_vals = jnp.zeros_like(v).at[rows, pos].add(v)
+    out_cols = jnp.zeros_like(c).at[rows, pos].add(jnp.where(head, c, 0))
+    row_nnz = jnp.sum(head, axis=1).astype(jnp.int32)
+    k = jnp.arange(W, dtype=jnp.int32)[None, :]
+    tail = k >= row_nnz[:, None]
+    out_vals = jnp.where(tail[:, :, None, None], 0, out_vals)
+    out_cols = jnp.where(tail, 0, out_cols)
+    return out_cols, out_vals, row_nnz

@@ -1,0 +1,106 @@
+"""Sparse matrix-vector products (the solve-phase hot kernel).
+
+Reference behavior: scipy CSR/BSR matvec drives every smoother sweep,
+residual, restriction and prolongation in the V-cycle
+(``/root/reference/pyamg/multilevel.py:584-662``).
+
+TPU design: ELL layout makes SpMV a dense gather + multiply + row-reduce:
+
+    y[i] = sum_k vals[i, k] * x[cols[i, k]]
+
+which XLA lowers to fused gather/fma — no scalar loops, static shapes.
+Padding slots have ``vals == 0`` so no masking is needed.  Multiple
+right-hand sides broadcast over a trailing axis.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pyamg_tpu.sparse.matrix import ELL, BELL
+
+
+def spmv(A: ELL, x: jax.Array) -> jax.Array:
+    """y = A @ x for ELL A; x of shape (n_cols,) or (n_cols, k)."""
+    if x.ndim == 1:
+        xg = x[A.cols]                      # (n, W)
+        return jnp.sum(A.vals * xg, axis=1)
+    xg = x[A.cols]                          # (n, W, k)
+    return jnp.sum(A.vals[..., None] * xg, axis=1)
+
+
+def rspmv(A: ELL, x: jax.Array) -> jax.Array:
+    """y = A.T @ x without materializing the transpose (scatter-add form).
+
+    Used where the reference does ``P.T @ r``; prefer a pre-built transpose
+    (static plan) in the cycle — this exists for one-off setup computations.
+    """
+    n_cols = A.shape[1]
+    contrib = A.vals * x[:, None]           # (n, W)
+    return jnp.zeros((n_cols,), dtype=contrib.dtype).at[A.cols].add(contrib)
+
+
+def bspmv(A: BELL, x: jax.Array) -> jax.Array:
+    """y = A @ x for block-ELL A; x flat of shape (n_cols,) or (n_cols, k)."""
+    br, bc = A.blocksize
+    nb = A.n_block_rows
+    nbc = A.n_block_cols
+    if x.ndim == 1:
+        xb = x.reshape(nbc, bc)
+        xg = xb[A.cols]                     # (nb, W, bc)
+        # (nb, W, br, bc) @ (nb, W, bc) -> (nb, W, br) -> sum W
+        y = jnp.einsum("nwij,nwj->ni", A.vals, xg)
+        return y.reshape(nb * br)
+    k = x.shape[1]
+    xb = x.reshape(nbc, bc, k)
+    xg = xb[A.cols]                         # (nb, W, bc, k)
+    y = jnp.einsum("nwij,nwjk->nik", A.vals, xg)
+    return y.reshape(nb * br, k)
+
+
+def matvec(A, x):
+    """Dispatch on container type."""
+    if isinstance(A, BELL):
+        return bspmv(A, x)
+    return spmv(A, x)
+
+
+def extract_diagonal(A) -> jax.Array:
+    """diag(A) as a dense vector (scalar matrices).
+
+    Reference: ``pyamg/util/utils.py:541`` (``get_diagonal``).
+    """
+    if isinstance(A, BELL):
+        br, bc = A.blocksize
+        assert br == bc
+        nb = A.n_block_rows
+        rows = jnp.arange(nb, dtype=jnp.int32)
+        hit = (A.cols == rows[:, None]) & A.valid_mask()
+        dblk = jnp.einsum("nw,nwij->nij", hit.astype(A.vals.dtype), A.vals)
+        idx = jnp.arange(br)
+        return dblk[:, idx, idx].reshape(nb * br)
+    n = A.shape[0]
+    rows = jnp.arange(n, dtype=jnp.int32)
+    hit = (A.cols == rows[:, None]) & A.valid_mask()
+    return jnp.sum(jnp.where(hit, A.vals, 0), axis=1)
+
+
+def extract_block_diagonal(A: BELL) -> jax.Array:
+    """(nb, br, bc) array of diagonal blocks."""
+    nb = A.n_block_rows
+    rows = jnp.arange(nb, dtype=jnp.int32)
+    hit = (A.cols == rows[:, None]) & A.valid_mask()
+    return jnp.einsum("nw,nwij->nij", hit.astype(A.vals.dtype), A.vals)
+
+
+def row_max_abs_offdiag(A: ELL) -> jax.Array:
+    """max_k |A[i, k]| over stored off-diagonal entries of each row.
+
+    Building block for classical strength of connection
+    (reference ``ruge_stuben.h:230`` ``maximum_row_value``).
+    """
+    n = A.shape[0]
+    rows = jnp.arange(n, dtype=jnp.int32)
+    offd = (A.cols != rows[:, None]) & A.valid_mask()
+    return jnp.max(jnp.where(offd, jnp.abs(A.vals), 0), axis=1)

@@ -1,0 +1,333 @@
+"""Sparse matrix containers for TPU-native AMG.
+
+Design (TPU-first, not a port):
+
+The reference (pyamg) stores matrices as scipy CSR/BSR and hands raw
+``(indptr, indices, data)`` triplets to sequential C++ loops
+(``/root/reference/pyamg/amg_core/*.h``).  XLA wants *static shapes* and
+*vectorizable access*, so the canonical device format here is a padded
+row-major ELL layout:
+
+  * ``cols``    -- ``(n_rows, W) int32``; entry ``cols[i, k]`` is the column of
+                   the k-th stored entry of row i.  Entries are sorted by
+                   column within each row.  Padding slots hold column 0.
+  * ``vals``    -- ``(n_rows, W) dtype``; padding slots hold 0 so that
+                   ``vals * x[cols]`` is correct without masking.
+  * ``row_nnz`` -- ``(n_rows,) int32``; number of *stored* entries per row
+                   (stored entries may include explicit zeros -- needed for
+                   sparsity-pattern arguments like the energy-minimization
+                   masks, cf. reference ``smoothed_aggregation.h:970``).
+
+``W`` (the pad width) is static, so every op on an ELL is jit-traceable with
+fixed shapes.  AMG operators have bounded row degree (operator complexity is
+kept near 1.1-1.9), so ELL padding waste is small.
+
+A thin BSR analogue (``BELL``) stores ``(n_block_rows, W, bs, bs)`` blocks for
+elasticity-type problems (reference uses scipy BSR).
+
+Host interop goes through scipy (``from_scipy`` / ``to_scipy``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _ell_fields():
+    return dict(data_fields=("cols", "vals", "row_nnz"), meta_fields=("shape",))
+
+
+@partial(jax.tree_util.register_dataclass, **_ell_fields())
+@dataclasses.dataclass(frozen=True)
+class ELL:
+    """Padded-row sparse matrix (device-native CSR analogue)."""
+
+    cols: jax.Array      # (n, W) int32
+    vals: jax.Array      # (n, W)
+    row_nnz: jax.Array   # (n,) int32
+    shape: Tuple[int, int]
+
+    # ---- static properties -------------------------------------------------
+    @property
+    def n_rows(self) -> int:
+        return self.shape[0]
+
+    @property
+    def n_cols(self) -> int:
+        return self.shape[1]
+
+    @property
+    def width(self) -> int:
+        return self.cols.shape[1] if self.cols.ndim == 2 else 0
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+    @property
+    def nnz(self) -> int:
+        """Number of stored entries (includes explicit zeros)."""
+        return int(jnp.sum(self.row_nnz))
+
+    @property
+    def blocksize(self) -> Tuple[int, int]:
+        return (1, 1)
+
+    def valid_mask(self) -> jax.Array:
+        """(n, W) bool: True for stored entries, False for padding."""
+        k = jnp.arange(self.width, dtype=jnp.int32)[None, :]
+        return k < self.row_nnz[:, None]
+
+    # ---- convenience wrappers (implemented in ops, bound lazily) -----------
+    def __matmul__(self, other):
+        from pyamg_tpu.ops import matmul
+        return matmul(self, other)
+
+    def mv(self, x):
+        from pyamg_tpu.ops.spmv import spmv
+        return spmv(self, x)
+
+    @property
+    def T(self):
+        from pyamg_tpu.ops.transpose import transpose
+        return transpose(self)
+
+    @property
+    def H(self):
+        from pyamg_tpu.ops.transpose import transpose
+        return transpose(self, conjugate=True)
+
+    def diagonal(self):
+        from pyamg_tpu.ops.spmv import extract_diagonal
+        return extract_diagonal(self)
+
+    def astype(self, dtype):
+        return ELL(self.cols, self.vals.astype(dtype), self.row_nnz, self.shape)
+
+    def __repr__(self):
+        return (f"ELL(shape={self.shape}, width={self.width}, "
+                f"dtype={self.vals.dtype})")
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=("cols", "vals", "row_nnz"),
+         meta_fields=("shape", "blocksize"))
+@dataclasses.dataclass(frozen=True)
+class BELL:
+    """Padded-row *block* sparse matrix (device-native BSR analogue).
+
+    ``cols[i, k]`` is the block-column of the k-th stored block of block-row
+    i; ``vals[i, k]`` is the dense ``(br, bc)`` block.  ``shape`` is the
+    *scalar* shape; block grid is ``(shape[0]//br, shape[1]//bc)``.
+    """
+
+    cols: jax.Array      # (nb, W) int32
+    vals: jax.Array      # (nb, W, br, bc)
+    row_nnz: jax.Array   # (nb,) int32
+    shape: Tuple[int, int]
+    blocksize: Tuple[int, int]
+
+    @property
+    def n_rows(self) -> int:
+        return self.shape[0]
+
+    @property
+    def n_cols(self) -> int:
+        return self.shape[1]
+
+    @property
+    def n_block_rows(self) -> int:
+        return self.shape[0] // self.blocksize[0]
+
+    @property
+    def n_block_cols(self) -> int:
+        return self.shape[1] // self.blocksize[1]
+
+    @property
+    def width(self) -> int:
+        return self.cols.shape[1] if self.cols.ndim == 2 else 0
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+    @property
+    def nnz(self) -> int:
+        br, bc = self.blocksize
+        return int(jnp.sum(self.row_nnz)) * br * bc
+
+    def valid_mask(self) -> jax.Array:
+        k = jnp.arange(self.width, dtype=jnp.int32)[None, :]
+        return k < self.row_nnz[:, None]
+
+    def __matmul__(self, other):
+        from pyamg_tpu.ops import matmul
+        return matmul(self, other)
+
+    def mv(self, x):
+        from pyamg_tpu.ops.spmv import bspmv
+        return bspmv(self, x)
+
+    @property
+    def T(self):
+        from pyamg_tpu.ops.transpose import btranspose
+        return btranspose(self)
+
+    @property
+    def H(self):
+        from pyamg_tpu.ops.transpose import btranspose
+        return btranspose(self, conjugate=True)
+
+    def astype(self, dtype):
+        return BELL(self.cols, self.vals.astype(dtype), self.row_nnz,
+                    self.shape, self.blocksize)
+
+    def __repr__(self):
+        return (f"BELL(shape={self.shape}, blocksize={self.blocksize}, "
+                f"width={self.width}, dtype={self.vals.dtype})")
+
+
+# ---------------------------------------------------------------------------
+# Host-side constructors / converters
+# ---------------------------------------------------------------------------
+
+def ell_from_csr_arrays(indptr, indices, data, shape, width=None,
+                        min_width: int = 1) -> ELL:
+    """Build an ELL from host CSR triplet arrays (numpy).
+
+    Entries within a row keep CSR order (callers should pass column-sorted
+    CSR; scipy's ``sort_indices`` guarantees this).
+    """
+    indptr = np.asarray(indptr)
+    indices = np.asarray(indices)
+    data = np.asarray(data)
+    n = shape[0]
+    row_nnz = np.diff(indptr).astype(np.int32)
+    W = int(max(min_width, row_nnz.max() if n else 0)) if width is None else int(width)
+    cols = np.zeros((n, W), dtype=np.int32)
+    vals = np.zeros((n, W), dtype=data.dtype)
+    # vectorized fill: position of each nnz within its row
+    if len(indices):
+        rows = np.repeat(np.arange(n), row_nnz)
+        offs = np.arange(len(indices)) - np.repeat(indptr[:-1], row_nnz)
+        cols[rows, offs] = indices
+        vals[rows, offs] = data
+    return ELL(jnp.asarray(cols), jnp.asarray(vals),
+               jnp.asarray(row_nnz), (int(shape[0]), int(shape[1])))
+
+
+def from_scipy(A, width=None):
+    """Convert a scipy sparse matrix to device ELL (or BELL if BSR)."""
+    import scipy.sparse as sp
+    if sp.issparse(A) and A.format == "bsr" and A.blocksize != (1, 1):
+        return bell_from_scipy(A, width=width)
+    A = sp.csr_matrix(A) if not (sp.issparse(A) and A.format == "csr") else A
+    A = A.copy()
+    A.sort_indices()
+    return ell_from_csr_arrays(A.indptr, A.indices, A.data, A.shape, width)
+
+
+def bell_from_scipy(A, width=None) -> BELL:
+    import scipy.sparse as sp
+    A = sp.bsr_matrix(A) if not (sp.issparse(A) and A.format == "bsr") else A
+    A = A.copy()
+    A.sort_indices()
+    br, bc = A.blocksize
+    nb = A.shape[0] // br
+    indptr, indices, data = A.indptr, A.indices, A.data
+    row_nnz = np.diff(indptr).astype(np.int32)
+    W = int(max(1, row_nnz.max() if nb else 0)) if width is None else int(width)
+    cols = np.zeros((nb, W), dtype=np.int32)
+    vals = np.zeros((nb, W, br, bc), dtype=data.dtype)
+    if len(indices):
+        rows = np.repeat(np.arange(nb), row_nnz)
+        offs = np.arange(len(indices)) - np.repeat(indptr[:-1], row_nnz)
+        cols[rows, offs] = indices
+        vals[rows, offs] = data
+    return BELL(jnp.asarray(cols), jnp.asarray(vals), jnp.asarray(row_nnz),
+                (int(A.shape[0]), int(A.shape[1])), (int(br), int(bc)))
+
+
+def to_scipy(A):
+    """Convert ELL/BELL back to scipy CSR/BSR (host)."""
+    import scipy.sparse as sp
+    if isinstance(A, BELL):
+        nb = A.n_block_rows
+        cols = np.asarray(A.cols)
+        vals = np.asarray(A.vals)
+        row_nnz = np.asarray(A.row_nnz)
+        indptr = np.concatenate([[0], np.cumsum(row_nnz)]).astype(np.int64)
+        mask = np.arange(A.width)[None, :] < row_nnz[:, None]
+        indices = cols[mask]
+        data = vals[mask]
+        return sp.bsr_matrix((data, indices, indptr), shape=A.shape,
+                             blocksize=A.blocksize)
+    cols = np.asarray(A.cols)
+    vals = np.asarray(A.vals)
+    row_nnz = np.asarray(A.row_nnz)
+    indptr = np.concatenate([[0], np.cumsum(row_nnz)]).astype(np.int64)
+    mask = np.arange(A.width)[None, :] < row_nnz[:, None]
+    indices = cols[mask]
+    data = vals[mask]
+    return sp.csr_matrix((data, indices, indptr), shape=A.shape)
+
+
+def asarray_or_ell(A, dtype=None):
+    """Accept scipy / dense / ELL inputs uniformly (user-facing factories)."""
+    import scipy.sparse as sp
+    if isinstance(A, (ELL, BELL)):
+        return A if dtype is None else A.astype(dtype)
+    if sp.issparse(A):
+        M = from_scipy(A)
+        return M if dtype is None else M.astype(dtype)
+    A = np.asarray(A)
+    return from_scipy(__import__("scipy.sparse", fromlist=["csr_matrix"]).csr_matrix(A))
+
+
+def eye(n, dtype=jnp.float32, width: int = 1) -> ELL:
+    """Identity matrix as ELL."""
+    cols = jnp.zeros((n, width), dtype=jnp.int32)
+    cols = cols.at[:, 0].set(jnp.arange(n, dtype=jnp.int32))
+    vals = jnp.zeros((n, width), dtype=dtype).at[:, 0].set(1)
+    return ELL(cols, vals, jnp.ones((n,), jnp.int32), (n, n))
+
+
+def ell_from_coo(rows, cols, vals, shape, width=None, sum_duplicates=True,
+                 min_width: int = 1) -> ELL:
+    """Device-side COO -> ELL with duplicate coalescing.
+
+    All inputs are jax arrays of equal length ``m`` (may include padding
+    entries flagged by ``rows == shape[0]`` which are dropped).  Entries are
+    sorted by (row, col); duplicates are segment-summed.  The result width is
+    data-dependent, so this helper is *setup-phase only* (not jittable as a
+    whole); the internal sort/segment steps are jit-compiled pieces.
+    """
+    n = int(shape[0])
+    # host sort + coalesce (concrete at setup; avoids int64-key pitfalls
+    # when x64 is disabled)
+    r_np = np.asarray(rows)
+    c_np = np.asarray(cols)
+    v_np = np.asarray(vals)
+    keep = r_np < n
+    r_np, c_np, v_np = r_np[keep], c_np[keep], v_np[keep]
+    order = np.lexsort((c_np, r_np))
+    r_np, c_np, v_np = r_np[order], c_np[order], v_np[order]
+    if sum_duplicates and len(r_np):
+        key = r_np.astype(np.int64) * np.int64(shape[1] + 1) + c_np
+        head = np.concatenate([[True], key[1:] != key[:-1]])
+        seg = np.cumsum(head) - 1
+        v_np = np.bincount(seg, weights=v_np.real).astype(v_np.dtype) \
+            if not np.iscomplexobj(v_np) else (
+                np.bincount(seg, weights=v_np.real)
+                + 1j * np.bincount(seg, weights=v_np.imag))
+        r_np, c_np = r_np[head], c_np[head]
+    counts = np.bincount(r_np, minlength=n).astype(np.int32)
+    indptr = np.concatenate([[0], np.cumsum(counts)])
+    return ell_from_csr_arrays(indptr, c_np, v_np, shape, width=width,
+                               min_width=min_width)

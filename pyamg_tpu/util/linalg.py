@@ -1,0 +1,152 @@
+"""Dense/eigen utilities (reference ``pyamg/util/linalg.py``).
+
+``approximate_spectral_radius`` drives the damping of every Jacobi-type
+smoother and prolongation smoother (reference ``util/linalg.py:255``).
+Implemented as Arnoldi/Lanczos with device matvecs and a host-side small
+Hessenberg eigensolve — setup-phase only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from pyamg_tpu.sparse.matrix import ELL, BELL
+from pyamg_tpu.ops.spmv import matvec as sp_matvec
+
+
+def norm(x, pnorm="2"):
+    """Vector norm (2-norm default); matches reference ``linalg.py:13``."""
+    x = jnp.asarray(x)
+    if pnorm == "2":
+        return jnp.sqrt(jnp.real(jnp.vdot(x, x)))
+    if pnorm == "inf":
+        return jnp.max(jnp.abs(x))
+    raise ValueError(f"unsupported norm {pnorm!r}")
+
+
+def infinity_norm(A) -> float:
+    """max row sum of |A| (reference ``linalg.py:53``)."""
+    if isinstance(A, (ELL, BELL)):
+        if isinstance(A, BELL):
+            from pyamg_tpu.sparse.matrix import to_scipy
+            return float(abs(to_scipy(A)).sum(axis=1).max())
+        return float(jnp.max(jnp.sum(jnp.abs(A.vals), axis=1)))
+    return float(np.abs(np.asarray(A)).sum(axis=1).max())
+
+
+def _as_matvec(A):
+    if isinstance(A, (ELL, BELL)):
+        return (lambda v: sp_matvec(A, v)), A.shape[0], A.dtype
+    A = jnp.asarray(A)
+    return (lambda v: A @ v), A.shape[0], A.dtype
+
+
+def _arnoldi(mv, n, dtype, maxiter, v0):
+    """Arnoldi with modified Gram-Schmidt; returns (H, V, breakdown)."""
+    V = []
+    v = v0 / norm(v0)
+    V.append(v)
+    H = np.zeros((maxiter + 1, maxiter),
+                 dtype=np.complex128 if jnp.iscomplexobj(v0) else np.float64)
+    breakdown = False
+    k = maxiter
+    for j in range(maxiter):
+        w = mv(V[j])
+        for i in range(j + 1):
+            h = jnp.vdot(V[i], w)
+            w = w - h * V[i]
+            H[i, j] = complex(h) if np.iscomplexobj(H) else float(jnp.real(h))
+        beta = float(norm(w))
+        H[j + 1, j] = beta
+        if beta < 1e-14 * max(1.0, abs(H[j, j])):
+            breakdown = True
+            k = j + 1
+            break
+        V.append(w / beta)
+    return H[:k + 1, :k], V, breakdown
+
+
+def approximate_spectral_radius(A, tol=0.01, maxiter=15, restart=5,
+                                symmetric=None, initial_guess=None,
+                                return_vector=False, seed=0):
+    """Estimate rho(A) via (restarted) Arnoldi Ritz values.
+
+    Behavioral parity with reference ``util/linalg.py:255``: restart from the
+    dominant Ritz vector until the eigen-residual estimate
+    ``H[k, k-1] * evect[-1]`` is below ``tol`` relative.
+    """
+    mv, n, dtype = _as_matvec(A)
+    rng = np.random.default_rng(seed)
+    if initial_guess is None:
+        v0 = rng.random(n)
+        if jnp.issubdtype(dtype, jnp.complexfloating):
+            v0 = v0 + 1j * rng.random(n)
+        v0 = jnp.asarray(v0, dtype=dtype)
+    else:
+        v0 = jnp.asarray(initial_guess, dtype=dtype).reshape(-1)
+
+    ev_max = 0.0
+    vec = v0
+    for _ in range(restart + 1):
+        H, V, breakdown = _arnoldi(mv, n, dtype, maxiter, vec)
+        k = H.shape[1]
+        if k == 0:
+            break
+        Hk = H[:k, :k]
+        evals, evects = np.linalg.eig(Hk)
+        mi = int(np.abs(evals).argmax())
+        ev_max = float(np.abs(evals[mi]))
+        err = abs(H[k, k - 1] * evects[-1, mi]) if H.shape[0] > k else 0.0
+        Vm = jnp.stack(V[:k], axis=1)
+        vec = Vm @ jnp.asarray(evects[:, mi], dtype=Vm.dtype)
+        if breakdown or (ev_max > 0 and err / ev_max < tol):
+            break
+    if return_vector:
+        return ev_max, vec
+    return ev_max
+
+
+def condest(A, maxiter=25, symmetric=False, seed=0):
+    """Rough 2-norm condition estimate via Arnoldi Ritz values
+    (reference ``linalg.py:384``)."""
+    mv, n, dtype = _as_matvec(A)
+    rng = np.random.default_rng(seed)
+    v0 = jnp.asarray(rng.random(n), dtype=dtype)
+    H, V, _ = _arnoldi(mv, n, dtype, min(maxiter, n), v0)
+    k = H.shape[1]
+    ev = np.linalg.eigvals(H[:k, :k])
+    return float(np.abs(ev).max() / np.abs(ev).min())
+
+
+def ishermitian(A, fast_check=True, tol=1e-6, seed=0):
+    """Hermitian test; fast random-vector probe like reference
+    ``linalg.py:479``."""
+    mv, n, dtype = _as_matvec(A)
+    rng = np.random.default_rng(seed)
+    if fast_check:
+        x = jnp.asarray(rng.random(n), dtype=dtype)
+        y = jnp.asarray(rng.random(n), dtype=dtype)
+        lhs = jnp.vdot(x, mv(y))
+        rhs = jnp.vdot(mv(x), y)
+        scale = float(norm(mv(x)) * norm(y)) + 1e-300
+        return bool(jnp.abs(lhs - rhs) / scale < tol)
+    from pyamg_tpu.sparse.matrix import to_scipy
+    M = to_scipy(A) if isinstance(A, (ELL, BELL)) else np.asarray(A)
+    diff = abs(M - M.conj().T)
+    mx = diff.max() if not hasattr(diff, "toarray") else diff.max()
+    return bool(mx < tol)
+
+
+def pinv_array(blocks, tol=None):
+    """Batched pseudo-inverse of many small square blocks
+    (reference ``linalg.py:931`` / C++ ``linalg.h:931``).
+
+    blocks: (m, k, k) array -> (m, k, k) of pinv's; TPU-native batched op.
+    """
+    blocks = jnp.asarray(blocks)
+    if blocks.shape[-1] == 1:
+        d = blocks[..., 0, 0]
+        inv = jnp.where(jnp.abs(d) > 0, 1.0 / jnp.where(d == 0, 1, d), 0.0)
+        return inv[..., None, None]
+    return jnp.linalg.pinv(blocks)
