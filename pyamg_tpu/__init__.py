@@ -10,6 +10,25 @@ sequential CSR loops.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# AMG setup compiles hundreds of small shape-specialized XLA programs
+# (per level, per pad-width); a persistent compile cache makes every run
+# after the first cheap.  Opt out with PYAMG_TPU_NO_COMPILE_CACHE=1.
+if not _os.environ.get("PYAMG_TPU_NO_COMPILE_CACHE"):
+    try:
+        if _jax.config.jax_compilation_cache_dir is None:
+            _cache = _os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/tmp/pyamg_tpu_jax_cache")
+            _os.makedirs(_cache, exist_ok=True)
+            _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
 from pyamg_tpu.sparse import ELL, BELL, from_scipy, to_scipy
 
 __all__ = ["ELL", "BELL", "from_scipy", "to_scipy"]

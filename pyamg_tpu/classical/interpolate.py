@@ -1,0 +1,367 @@
+"""Classical AMG interpolation operators (reference
+``pyamg/classical/interpolate.py`` + C++ ``ruge_stuben.h``, ``air.h``).
+
+TPU design: the reference's two-pass CSR builders (count nnz, then fill)
+become single vectorized passes over the ELL layout — every row computes
+its candidate (column, value) slots in parallel, then ``ell_dedup``
+left-compacts.  The 2-hop gathers of classical interpolation and the
+per-C-point dense solves of lAIR become batched gathers / batched
+``lstsq`` instead of nested scalar loops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pyamg_tpu.sparse.matrix import ELL, BELL
+from pyamg_tpu.ops.rowops import ell_dedup, row_lookup
+from pyamg_tpu.strength import classical_strength_of_connection
+
+
+def _coarse_map(splitting):
+    """coarse index of each C-point (exclusive prefix sum)."""
+    s = jnp.asarray(splitting, jnp.int32)
+    return jnp.cumsum(s) - s, int(jnp.sum(s))
+
+
+def _strength_pattern(A: ELL, C: ELL):
+    """(scols, smask, svals): C's off-diagonal pattern carrying values of A
+    (the reference copies A entries into C's sparsity:
+    ``interpolate.py:66-68``)."""
+    n = A.shape[0]
+    rows = jnp.arange(n, dtype=jnp.int32)[:, None]
+    smask = C.valid_mask() & (C.cols != rows) & (C.vals != 0)
+    svals = row_lookup(A, C.cols, smask)
+    return C.cols, smask, svals
+
+
+def _row_sums(A: ELL):
+    n = A.shape[0]
+    rows = jnp.arange(n, dtype=jnp.int32)[:, None]
+    valid = A.valid_mask()
+    isdiag = valid & (A.cols == rows)
+    offd = valid & (A.cols != rows)
+    diag = jnp.sum(jnp.where(isdiag, A.vals, 0), axis=1)
+    pos = jnp.sum(jnp.where(offd & (jnp.real(A.vals) > 0), A.vals, 0), axis=1)
+    neg = jnp.sum(jnp.where(offd & (jnp.real(A.vals) < 0), A.vals, 0), axis=1)
+    return diag, pos, neg
+
+
+def direct_interpolation(A: ELL, C: ELL, splitting, theta=None, norm="min"):
+    """Direct interpolation (reference ``interpolate.py:12`` /
+    ``ruge_stuben.h:777,832``): F-point weights
+    ``w_ij = -(sum_neg/strong_neg)/a_ii * a_ij`` (sign-split), C-points
+    injected as identity."""
+    if theta is not None:
+        C = classical_strength_of_connection(A, theta=theta, norm=norm)
+    split = jnp.asarray(splitting, jnp.int32)
+    cmap, nc = _coarse_map(split)
+    n = A.shape[0]
+
+    scols, smask, svals = _strength_pattern(A, C)
+    strongC = smask & (split[scols] == 1)
+    ssp = jnp.sum(jnp.where(strongC & (jnp.real(svals) > 0), svals, 0), axis=1)
+    ssn = jnp.sum(jnp.where(strongC & (jnp.real(svals) < 0), svals, 0), axis=1)
+    diag, sap, san = _row_sums(A)
+
+    no_pos = ssp == 0
+    diag = jnp.where(no_pos, diag + sap, diag)
+    alpha = jnp.where(ssn != 0, san / jnp.where(ssn == 0, 1, ssn), 0.0)
+    beta = jnp.where(no_pos, 0.0, sap / jnp.where(ssp == 0, 1, ssp))
+    neg_c = -alpha / diag
+    pos_c = -beta / diag
+
+    pvals = jnp.where(jnp.real(svals) < 0, neg_c[:, None] * svals,
+                      pos_c[:, None] * svals)
+    return _assemble_p(scols, strongC, pvals, split, cmap, nc, n)
+
+
+def _assemble_p(scols, strong_c_mask, pvals, split, cmap, nc, n):
+    """Stack F-row entries (at strong-C slots) with C-row identity into P."""
+    is_c = (split == 1)
+    fmask = strong_c_mask & ~is_c[:, None]
+    cand_cols = jnp.concatenate(
+        [cmap[scols], cmap[:, None]], axis=1)
+    cand_vals = jnp.concatenate(
+        [jnp.where(fmask, pvals, 0),
+         jnp.where(is_c, 1.0, 0.0).astype(pvals.dtype)[:, None]], axis=1)
+    cand_valid = jnp.concatenate([fmask, is_c[:, None]], axis=1)
+    return ell_dedup(cand_cols, cand_vals, cand_valid, (n, nc))
+
+
+def remove_strong_FF_connections(A: ELL, C: ELL, splitting):
+    """Zero strong F-F connections lacking a common strong C neighbor
+    (reference ``ruge_stuben.h:1133``).  Returns C with such values zeroed."""
+    split = jnp.asarray(splitting, jnp.int32)
+    n = A.shape[0]
+    rows = jnp.arange(n, dtype=jnp.int32)[:, None]
+    smask = C.valid_mask() & (C.cols != rows) & (C.vals != 0)
+    is_f_row = (split == 0)[:, None]
+    ff = smask & is_f_row & (split[C.cols] == 0)
+    # common strong C: exists c with split[c]==1, c in S_row and c in S_j
+    kcols = C.cols[C.cols]                    # (n, W, Wk) rows of neighbors
+    kvalid = C.valid_mask()[C.cols] & (C.vals[C.cols] != 0)
+    c_slot = smask & (split[C.cols] == 1)     # strong C slots of row
+    eq = kcols[:, :, :, None] == C.cols[:, None, None, :]
+    common = jnp.any(eq & kvalid[:, :, :, None] & c_slot[:, None, None, :],
+                     axis=(2, 3))
+    drop = ff & ~common
+    return ELL(C.cols, jnp.where(drop, 0, C.vals), C.row_nnz, C.shape)
+
+
+def classical_interpolation(A: ELL, C: ELL, splitting, theta=None,
+                            norm="min", modified=True):
+    """Distance-1 (modified) classical interpolation (reference
+    ``interpolate.py:86`` / ``ruge_stuben.h:1239``)."""
+    if theta is not None:
+        C = classical_strength_of_connection(A, theta=theta, norm=norm)
+    split = jnp.asarray(splitting, jnp.int32)
+    if modified:
+        C = remove_strong_FF_connections(A, C, split)
+    cmap, nc = _coarse_map(split)
+    n = A.shape[0]
+
+    scols, smask, svals = _strength_pattern(A, C)
+    strongC = smask & (split[scols] == 1)
+    strongF = smask & (split[scols] == 0)
+
+    # denominator: full row sum minus strong off-diagonal entries
+    diag, sap, san = _row_sums(A)
+    denom = (diag + sap + san) - jnp.sum(jnp.where(smask, svals, 0), axis=1)
+
+    # 2-hop data: for each strong neighbor k of i, A's row of k
+    d = A.diagonal()
+    a_kk = d[scols]                                    # (n, W)
+    kcols = A.cols[scols]                              # (n, W, WA)
+    kvals = A.vals[scols]
+    kvalid = A.valid_mask()[scols]
+    # a_kj for every (k-slot, j-slot) pair over row i's strength slots
+    eq = kcols[:, :, :, None] == scols[:, None, None, :]   # (n,Wk,WA,Wj)
+    akj = jnp.sum(jnp.where(eq & kvalid[:, :, :, None], kvals[:, :, :, None],
+                            0), axis=2)                     # (n, Wk, Wj)
+    if modified:
+        sign_match = jnp.sign(jnp.real(akj)) == \
+            jnp.sign(jnp.real(a_kk))[:, :, None]
+        akj_eff = jnp.where(sign_match, 0, akj)
+    else:
+        akj_eff = akj
+
+    # inner denominator per strong-F k-slot: sum over strong-C l-slots
+    inner = jnp.sum(jnp.where(strongC[:, None, :], akj_eff, 0), axis=2)
+
+    a_ik = svals                                        # (n, W)
+    # contribution of k to numerator at j: a_ik * a_kj / inner
+    use = (jnp.abs(akj_eff) > 1e-15 * jnp.abs(a_ik)[:, :, None]) & \
+        strongF[:, :, None] & (inner[:, :, None] != 0)
+    contrib = jnp.where(
+        use, a_ik[:, :, None] * akj_eff /
+        jnp.where(inner[:, :, None] == 0, 1, inner[:, :, None]), 0)
+    numer = svals + jnp.sum(contrib, axis=1)
+    pvals = -numer / jnp.where(denom == 0, 1, denom)[:, None]
+    return _assemble_p(scols, strongC, pvals, split, cmap, nc, n)
+
+
+def injection_interpolation(A, splitting):
+    """Injection: C-points by value, F rows empty (reference
+    ``interpolate.py:174``)."""
+    split = jnp.asarray(splitting, jnp.int32)
+    cmap, nc = _coarse_map(split)
+    if isinstance(A, BELL):
+        bs = A.blocksize[0]
+        nb = A.n_block_rows
+        cols = cmap[:, None]
+        vals = jnp.where((split == 1)[:, None, None, None],
+                         jnp.eye(bs, dtype=A.dtype)[None, None], 0)
+        rn = (split == 1).astype(jnp.int32)
+        return BELL(jnp.where((split == 1)[:, None], cols, 0), vals, rn,
+                    (nb * bs, nc * bs), (bs, bs))
+    n = A.shape[0]
+    is_c = split == 1
+    cols = jnp.where(is_c, cmap, 0)[:, None]
+    vals = jnp.where(is_c, 1.0, 0.0).astype(A.dtype)[:, None]
+    return ELL(cols, vals, is_c.astype(jnp.int32), (n, nc))
+
+
+def one_point_interpolation(A, C: ELL, splitting, by_val=False):
+    """One-point interpolation: each F-point takes its most strongly
+    connected C neighbor (reference ``interpolate.py:241`` / ``air.h:46``).
+    ``by_val=True`` uses ``-A_fc`` values instead of 1."""
+    split = jnp.asarray(splitting, jnp.int32)
+    cmap, nc = _coarse_map(split)
+    n = C.shape[0]
+    rows = jnp.arange(n, dtype=jnp.int32)[:, None]
+    M = A if (by_val and not isinstance(A, BELL)) else C
+    smask = M.valid_mask() & (M.cols != rows)
+    cand = smask & (split[M.cols] == 1)
+    mag = jnp.where(cand, jnp.abs(M.vals), -1.0)
+    best = jnp.argmax(mag, axis=1)
+    has = jnp.take_along_axis(mag, best[:, None], axis=1)[:, 0] >= 0
+    bcol = jnp.take_along_axis(M.cols, best[:, None], axis=1)[:, 0]
+    bval = jnp.take_along_axis(M.vals, best[:, None], axis=1)[:, 0]
+    is_c = split == 1
+
+    if isinstance(A, BELL):
+        bs = A.blocksize[0]
+        eye = jnp.eye(bs, dtype=A.dtype)
+        cols = jnp.where(is_c, cmap, cmap[bcol])[:, None]
+        valid = (is_c | has)
+        vals = jnp.where(valid[:, None, None, None], eye[None, None], 0)
+        return BELL(jnp.where(valid[:, None], cols, 0), vals,
+                    valid.astype(jnp.int32),
+                    (n * bs, nc * bs), (bs, bs))
+    val = jnp.where(is_c, 1.0,
+                    (-bval if by_val else jnp.ones_like(bval)))
+    cols = jnp.where(is_c, cmap, cmap[bcol])[:, None]
+    valid = is_c | has
+    return ELL(jnp.where(valid[:, None], cols, 0),
+               jnp.where(valid, val, 0).astype(A.dtype)[:, None],
+               valid.astype(jnp.int32), (n, nc))
+
+
+# ---------------------------------------------------------------------------
+# lAIR — approximate ideal restriction via batched local solves
+# ---------------------------------------------------------------------------
+
+def _air_neighborhoods(C: ELL, splitting, Cpts, degree):
+    """Padded per-C-point strong-F neighborhoods (host; sizes data-dep).
+
+    Returns (nbrs (ncp, M) int32 node ids padded with -1)."""
+    import scipy.sparse as sp
+    from pyamg_tpu.sparse.matrix import to_scipy
+    S = to_scipy(C).tocsr()
+    S.sort_indices()
+    split = np.asarray(splitting)
+    indptr, indices = S.indptr, S.indices
+    out = []
+    for c in np.asarray(Cpts):
+        n1 = [j for j in indices[indptr[c]:indptr[c + 1]]
+              if split[j] == 0 and j != c]
+        s = set(n1)
+        if degree == 2:
+            for j in n1:
+                for k in indices[indptr[j]:indptr[j + 1]]:
+                    if split[k] == 0 and k != j:
+                        s.add(k)
+        out.append(sorted(s))
+    M = max((len(s) for s in out), default=0)
+    M = max(M, 1)
+    nb = np.full((len(out), M), -1, np.int64)
+    for i, s in enumerate(out):
+        nb[i, :len(s)] = s
+    return jnp.asarray(nb)
+
+
+@jax.jit
+def _air_solve(Acols, Avals, Arow_nnz, n_cols, nbrs, cpts):
+    """Batched local solves R_loc: A[N,N]^T r = -A[c,N]^T per C-point."""
+    ncp, M = nbrs.shape
+    ok = nbrs >= 0
+    nb = jnp.where(ok, nbrs, 0).astype(jnp.int32)
+    A = ELL(Acols, Avals, Arow_nnz, (Acols.shape[0], n_cols))
+    # local matrix entries A[N_j, N_i]
+    qrows = nb.reshape(-1)                            # (ncp*M,)
+    # gather rows of A for each neighborhood member
+    sub = ELL(Acols[qrows], Avals[qrows], Arow_nnz[qrows],
+              (ncp * M, n_cols))
+    # A_loc[b, j, i] = A[N_j, N_i]
+    qc = jnp.broadcast_to(nb[:, None, :], (ncp, M, M)).reshape(ncp * M, M)
+    vals = row_lookup(sub, qc)                         # (ncp*M, M)
+    A_loc = vals.reshape(ncp, M, M)                    # [b, j, i]
+    # rhs b_i = -A[c, N_i]
+    subc = ELL(Acols[cpts], Avals[cpts], Arow_nnz[cpts], (ncp, n_cols))
+    b = -row_lookup(subc, nb)                          # (ncp, M)
+    # mask padding: identity rows/cols, zero rhs
+    okj = ok[:, :, None] & ok[:, None, :]
+    pad_eye = jnp.where(~ok[:, :, None] & jnp.eye(M, dtype=bool)[None],
+                        jnp.ones((), A_loc.dtype), 0)
+    A_sys = jnp.where(okj, A_loc, 0) + pad_eye
+    b = jnp.where(ok, b, 0)
+    # solve A_sys^T r = b  (A_sys[b,j,i] = A[N_j,N_i]; need sum_j r_j A[N_j,N_i] = b_i)
+    r = jnp.linalg.solve(jnp.swapaxes(A_sys, 1, 2), b[..., None])[..., 0]
+    return r, ok
+
+
+def local_air(A: ELL, splitting, theta=0.1, norm="abs", degree=1,
+              use_gmres=False, maxiter=10, precondition=True):
+    """Local approximate-ideal-restriction (lAIR) operator (reference
+    ``interpolate.py:324`` / ``air.h:124-328``): per C-point solve
+    ``r^T A[N,N] = -A[c,N]`` over the strong-F neighborhood N, identity at
+    the C-point.  Batched dense solves on device; ``use_gmres`` accepted
+    for API parity (the direct solve is exact)."""
+    if isinstance(A, BELL):
+        return _local_air_bsr(A, splitting, theta, norm, degree)
+    C = classical_strength_of_connection(A, theta=theta, block=False,
+                                         norm=norm)
+    split = np.asarray(splitting)
+    Cpts = np.where(split == 1)[0]
+    ncp = len(Cpts)
+    n = A.shape[0]
+    if ncp == 0:
+        return ELL(jnp.zeros((0, 1), jnp.int32),
+                   jnp.zeros((0, 1), A.dtype),
+                   jnp.zeros((0,), jnp.int32), (0, n))
+    nbrs = _air_neighborhoods(C, split, Cpts, degree)
+    cpts = jnp.asarray(Cpts, jnp.int32)
+    r, ok = _air_solve(A.cols, A.vals, A.row_nnz, n, nbrs, cpts)
+    # assemble R rows: solution over neighborhood + identity at cpoint
+    cand_cols = jnp.concatenate(
+        [jnp.where(ok, nbrs, 0).astype(jnp.int32), cpts[:, None]], axis=1)
+    cand_vals = jnp.concatenate(
+        [jnp.where(ok, r, 0), jnp.ones((ncp, 1), A.dtype)], axis=1)
+    cand_valid = jnp.concatenate(
+        [ok & (r != 0), jnp.ones((ncp, 1), bool)], axis=1)
+    return ell_dedup(cand_cols, cand_vals, cand_valid, (ncp, n))
+
+
+def _local_air_bsr(A: BELL, splitting, theta, norm, degree):
+    """Block lAIR (reference ``air.h:379``): same neighborhoods at the
+    node level, dense solves blown up by blocksize."""
+    bs = A.blocksize[0]
+    C = classical_strength_of_connection(A, theta=theta, block=True,
+                                         norm=norm)
+    split = np.asarray(splitting)
+    Cpts = np.where(split == 1)[0]
+    ncp = len(Cpts)
+    nb = A.n_block_rows
+    if ncp == 0:
+        return BELL(jnp.zeros((0, 1), jnp.int32),
+                    jnp.zeros((0, 1, bs, bs), A.dtype),
+                    jnp.zeros((0,), jnp.int32), (0, nb * bs), (bs, bs))
+    nbrs = np.asarray(_air_neighborhoods(C, split, Cpts, degree))
+    M = nbrs.shape[1]
+    ok = nbrs >= 0
+    # build dense local systems on host-side gathers (scalar level)
+    from pyamg_tpu.sparse.matrix import to_scipy
+    As = to_scipy(A).tocsr()
+    rows_out = []
+    for b_i, c in enumerate(np.asarray(Cpts)):
+        N = nbrs[b_i][ok[b_i]]
+        sN = np.concatenate([np.arange(bs) + j * bs for j in N]) \
+            if len(N) else np.zeros((0,), np.int64)
+        if len(sN):
+            A0 = As[np.ix_(sN, sN)].toarray()
+            brow = -As[np.arange(bs) + c * bs][:, sN].toarray()  # (bs, |sN|)
+            try:
+                r = np.linalg.solve(A0.T, brow.T).T        # (bs, |sN|)
+            except np.linalg.LinAlgError:
+                r = np.linalg.lstsq(A0.T, brow.T, rcond=None)[0].T
+        else:
+            r = np.zeros((bs, 0))
+        rows_out.append((N, r))
+    W = max(1, max(len(N) for N, _ in rows_out) + 1)
+    cols = np.zeros((ncp, W), np.int32)
+    vals = np.zeros((ncp, W, bs, bs), np.asarray(A.vals).dtype)
+    rn = np.zeros((ncp,), np.int32)
+    for i, ((N, r), c) in enumerate(zip(rows_out, np.asarray(Cpts))):
+        k = 0
+        for j_idx, j in enumerate(N):
+            cols[i, k] = j
+            vals[i, k] = r[:, j_idx * bs:(j_idx + 1) * bs]
+            k += 1
+        cols[i, k] = c
+        vals[i, k] = np.eye(bs)
+        rn[i] = k + 1
+    return BELL(jnp.asarray(cols), jnp.asarray(vals), jnp.asarray(rn),
+                (ncp * bs, nb * bs), (bs, bs))

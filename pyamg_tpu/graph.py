@@ -89,7 +89,7 @@ def maximal_independent_set(G: ELL, algo="parallel", k=1, weights=None,
 # Vertex coloring (Jones-Plassmann)  — reference graph.h:297, :351
 # ---------------------------------------------------------------------------
 
-@jax.jit
+@partial(jax.jit, static_argnums=(4,))
 def _jp_round(cols, mask, color, keys, maxdeg):
     uncolored = color < 0
     nk = jnp.where(uncolored[cols] & mask, keys[cols], -jnp.inf)
@@ -239,6 +239,205 @@ def lloyd_cluster(G: ELL, centers, maxiter=5):
         centers = new_centers
     dist, clusters = bellman_ford(G, centers)
     return np.asarray(clusters), np.asarray(centers)
+
+
+def kmeanspp_seed(G: ELL, nc, seed=0):
+    """k-means++ style seeding on graph distances (reference
+    ``graph.py:602``): pick each new center with probability proportional
+    to distance^2 from the current centers."""
+    n = G.shape[0]
+    rng = np.random.default_rng(seed)
+    centers = [int(rng.integers(n))]
+    for _ in range(nc - 1):
+        d, _ = bellman_ford(G, np.asarray(centers))
+        d = np.asarray(d)
+        d[~np.isfinite(d)] = d[np.isfinite(d)].max() + 1 if \
+            np.isfinite(d).any() else 1.0
+        p = d ** 2
+        s = p.sum()
+        if s == 0:
+            remaining = np.setdiff1d(np.arange(n), centers)
+            centers.append(int(rng.choice(remaining)))
+            continue
+        centers.append(int(rng.choice(n, p=p / s)))
+    return np.asarray(centers)
+
+
+@jax.jit
+def _bf_balanced_round(cols, mask, w, dist, nearest, sizes):
+    """One balanced BF round (reference ``graph.h:736``): accept strictly
+    closer centers, or equal-distance centers of smaller clusters."""
+    nd = jnp.where(mask, dist[cols] + w, _BIG)
+    ncl = jnp.where(mask, nearest[cols], -1)
+    nsz = jnp.where(ncl >= 0, sizes[jnp.maximum(ncl, 0)], n_max := 2 ** 30)
+    # pick best neighbor offer: smallest (dist, cluster size) lexicographic
+    key = nd * (2.0 ** 32) + nsz
+    j = jnp.argmin(key, axis=1)
+    best_d = jnp.take_along_axis(nd, j[:, None], axis=1)[:, 0]
+    best_c = jnp.take_along_axis(ncl, j[:, None], axis=1)[:, 0]
+    best_s = jnp.take_along_axis(nsz, j[:, None], axis=1)[:, 0]
+    cur_s = jnp.where(nearest >= 0, sizes[jnp.maximum(nearest, 0)], 2 ** 30)
+    better = (best_d < dist) | ((best_d == dist) & (best_c >= 0) &
+                                (best_s + 1 < cur_s))
+    new_dist = jnp.where(better, best_d, dist)
+    new_near = jnp.where(better, best_c, nearest)
+    return new_dist, new_near
+
+
+def bellman_ford_balanced(G: ELL, centers, max_iters=None):
+    """Balanced multi-source shortest paths (reference ``graph.py:129`` /
+    ``graph.h:736``): distance ties break toward smaller clusters."""
+    n = G.shape[0]
+    cols, mask = _neighbors(G)
+    w = jnp.abs(G.vals)
+    centers = jnp.asarray(centers, jnp.int32)
+    nc = centers.shape[0]
+    dist = jnp.full((n,), _BIG, jnp.float64).at[centers].set(0.0)
+    nearest = jnp.full((n,), -1, jnp.int32).at[centers].set(
+        jnp.arange(nc, dtype=jnp.int32))
+    limit = max_iters if max_iters is not None else 2 * n + 2
+    it = 0
+    while it < limit:
+        sizes = jnp.zeros((nc,), jnp.int32).at[
+            jnp.maximum(nearest, 0)].add((nearest >= 0).astype(jnp.int32))
+        nd, nn = _bf_balanced_round(cols, mask, w, dist, nearest, sizes)
+        if bool(jnp.all(nd == dist)) and bool(jnp.all(nn == nearest)):
+            break
+        dist, nearest = nd, nn
+        it += 1
+    return dist, nearest
+
+
+def _cluster_floyd_warshall(G: ELL, clusters, nc, maxsize):
+    """Per-cluster all-pairs shortest paths via batched dense
+    Floyd-Warshall (reference ``graph.h:436``); clusters padded to
+    ``maxsize``.  Returns (members (nc, m), D (nc, m, m))."""
+    n = G.shape[0]
+    cl = np.asarray(clusters)
+    members = np.full((nc, maxsize), -1, np.int64)
+    counts = np.zeros(nc, np.int64)
+    for i in np.argsort(cl, kind="stable"):
+        c = cl[i]
+        if 0 <= c < nc and counts[c] < maxsize:
+            members[c, counts[c]] = i
+            counts[c] += 1
+    mem = jnp.asarray(np.where(members < 0, 0, members))
+    ok = jnp.asarray(members >= 0)
+    m = maxsize
+    # dense intra-cluster adjacency
+    sub = ELL(G.cols[mem.reshape(-1)], jnp.abs(G.vals)[mem.reshape(-1)],
+              G.row_nnz[mem.reshape(-1)], (nc * m, G.shape[1]))
+    from pyamg_tpu.ops.rowops import row_lookup
+    qc = jnp.broadcast_to(mem[:, None, :], (nc, m, m)).reshape(nc * m, m)
+    Wd = row_lookup(sub, qc.astype(jnp.int32)).reshape(nc, m, m)
+    D = jnp.where(Wd > 0, Wd, _BIG)
+    eye = jnp.eye(m, dtype=bool)[None]
+    D = jnp.where(eye, 0.0, D)
+    okij = ok[:, :, None] & ok[:, None, :]
+    D = jnp.where(okij | eye, D, _BIG)
+
+    def fw_step(D, k):
+        Dk = D[:, :, k][:, :, None] + D[:, k, :][:, None, :]
+        return jnp.minimum(D, Dk), None
+
+    D, _ = jax.lax.scan(fw_step, D, jnp.arange(m))
+    return np.asarray(members), D
+
+
+def center_nodes(G: ELL, clusters, nc, maxsize=None):
+    """Graph-median center per cluster (reference ``graph.h:530``):
+    the member minimizing the sum of intra-cluster distances."""
+    n = G.shape[0]
+    cl = np.asarray(clusters)
+    sizes = np.bincount(cl[cl >= 0], minlength=nc)
+    m = int(sizes.max()) if len(sizes) else 1
+    if maxsize is not None:
+        m = min(m, maxsize)
+    members, D = _cluster_floyd_warshall(G, cl, nc, max(m, 1))
+    ok = members >= 0
+    Dn = np.asarray(D)
+    Dn[~np.isfinite(Dn)] = 1e30
+    rowsum = (Dn * ok[:, None, :]).sum(axis=2)
+    rowsum[~ok] = np.inf
+    best = rowsum.argmin(axis=1)
+    centers = members[np.arange(nc), best]
+    # clusters with no members keep a placeholder center 0
+    centers = np.where(ok.any(axis=1), centers, 0)
+    return centers
+
+
+def balanced_lloyd_cluster(G: ELL, num_clusters, maxiter=5, rebalance_iters=0,
+                           seed=0):
+    """Balanced Lloyd clustering (reference ``graph.py:289-600``):
+    balanced Bellman-Ford assignment + graph-median recentering."""
+    n = G.shape[0]
+    rng = np.random.default_rng(seed)
+    centers = np.asarray(rng.choice(n, size=num_clusters, replace=False))
+    clusters = None
+    maxsize = 12 * int(np.ceil(n / num_clusters))
+    for _ in range(maxiter):
+        dist, clusters = bellman_ford_balanced(G, centers)
+        if bool(jnp.any(jnp.asarray(clusters) < 0)):
+            raise ValueError("Lloyd clustering failed to assign all nodes")
+        new_centers = center_nodes(G, np.asarray(clusters), num_clusters,
+                                   maxsize)
+        if np.array_equal(new_centers, centers):
+            break
+        centers = new_centers
+    dist, clusters = bellman_ford_balanced(G, centers)
+    return np.asarray(clusters), np.asarray(centers)
+
+
+def pseudo_peripheral_node(G: ELL):
+    """Find a pseudo-peripheral node by repeated BFS (reference
+    ``graph.py:789``)."""
+    n = G.shape[0]
+    u = 0
+    last_ecc = -1
+    while True:
+        order, level = breadth_first_search(G, u)
+        ecc = int(level.max())
+        if ecc <= last_ecc:
+            return u, order, level
+        last_ecc = ecc
+        frontier = np.where(level == ecc)[0]
+        deg = np.asarray(jnp.sum(_neighbors(G)[1], axis=1))
+        u = int(frontier[np.argmin(deg[frontier])])
+
+
+def symmetric_rcm(A: ELL):
+    """Reverse Cuthill-McKee ordering (reference ``graph.py:744``):
+    BFS from a pseudo-peripheral node, within-level sort by degree,
+    reversed.  Returns the permutation."""
+    n = A.shape[0]
+    _, mask = _neighbors(A)
+    deg = np.asarray(jnp.sum(mask, axis=1))
+    root, order, level = pseudo_peripheral_node(A)
+    # stable sort by (level, degree)
+    perm = np.lexsort((deg, level))
+    # unreached nodes (level -1) go first in lexsort; push them to the end
+    unreached = level[perm] < 0
+    perm = np.concatenate([perm[~unreached], perm[unreached]])
+    return perm[::-1].copy()
+
+
+def metis_partition(G: ELL, nparts, seed=0):
+    """Graph partitioning via pymetis if available (reference
+    ``graph.py:839``); falls back to balanced Lloyd clustering."""
+    try:
+        import pymetis
+    except ImportError:
+        clusters, _ = balanced_lloyd_cluster(G, nparts, seed=seed)
+        return clusters
+    import scipy.sparse as sp
+    from pyamg_tpu.sparse.matrix import to_scipy
+    A = to_scipy(G).tocsr()
+    A.setdiag(0)
+    A.eliminate_zeros()
+    adj = [A.indices[A.indptr[i]:A.indptr[i + 1]].tolist()
+           for i in range(G.shape[0])]
+    _, parts = pymetis.part_graph(nparts, adjacency=adj)
+    return np.asarray(parts, np.int32)
 
 
 def most_interior_nodes(G: ELL, clusters, nc):

@@ -68,6 +68,26 @@ def ell_dedup(cols, vals, valid, shape, width=None, min_width=1) -> ELL:
     return compact_width(c, v, rn, shape, width=width, min_width=min_width)
 
 
+def row_lookup(A: ELL, qcols: jax.Array, qvalid=None) -> jax.Array:
+    """Per-row membership lookup: out[i, k] = A[i, qcols[i, k]] (0 if absent).
+
+    ``qcols`` may have any trailing width; A's rows are column-sorted with a
+    zero-padding tail, which is re-sentineled so searchsorted stays valid.
+    Jittable (static shapes); the sparse analogue of a gather.
+    """
+    n, W = A.cols.shape
+    sent = jnp.int32(A.shape[1])
+    k = jnp.arange(W, dtype=jnp.int32)[None, :]
+    acols = jnp.where(k < A.row_nnz[:, None], A.cols, sent)
+    idx = jax.vmap(jnp.searchsorted)(acols, qcols)
+    idx = jnp.clip(idx, 0, W - 1)
+    hit = jnp.take_along_axis(acols, idx, axis=1) == qcols
+    out = jnp.take_along_axis(A.vals, idx, axis=1)
+    if qvalid is not None:
+        hit = hit & qvalid
+    return jnp.where(hit, out, 0)
+
+
 def drop_explicit_zeros(A: ELL, tol: float = 0.0) -> ELL:
     """Remove stored entries with |val| <= tol (keeps the diagonal slot out
     of consideration — pure magnitude filter, diag handled by callers)."""

@@ -1,0 +1,8 @@
+"""Relaxation smoothers (reference ``pyamg/relaxation``)."""
+
+from pyamg_tpu.relaxation import relaxation
+from pyamg_tpu.relaxation.chebyshev import (
+    chebyshev_polynomial_coefficients, mls_polynomial_coefficients)
+
+__all__ = ["relaxation", "chebyshev_polynomial_coefficients",
+           "mls_polynomial_coefficients"]

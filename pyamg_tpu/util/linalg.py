@@ -38,6 +38,8 @@ def infinity_norm(A) -> float:
 def _as_matvec(A):
     if isinstance(A, (ELL, BELL)):
         return (lambda v: sp_matvec(A, v)), A.shape[0], A.dtype
+    if callable(getattr(A, "matvec", None)):
+        return A.matvec, A.shape[0], getattr(A, "dtype", jnp.float64)
     A = jnp.asarray(A)
     return (lambda v: A @ v), A.shape[0], A.dtype
 

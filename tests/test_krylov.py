@@ -1,0 +1,180 @@
+"""Krylov tests (reference pattern: krylov/tests/test_krylov.py)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+import scipy.linalg
+
+import jax.numpy as jnp
+
+from pyamg_tpu.sparse import from_scipy
+from pyamg_tpu.gallery import poisson
+from pyamg_tpu import krylov
+
+
+def spd_case(n=36, seed=0):
+    A = poisson((int(np.sqrt(n)), int(np.sqrt(n))), format="csr")
+    rng = np.random.default_rng(seed)
+    b = rng.standard_normal(A.shape[0])
+    return A, b
+
+
+def nonsym_case(n=40, seed=1):
+    rng = np.random.default_rng(seed)
+    A = sp.csr_matrix(np.eye(n) * 4 + 0.5 * rng.standard_normal((n, n)))
+    b = rng.standard_normal(n)
+    return A, b
+
+
+class TestCG:
+    def test_cg_solves_spd(self):
+        A, b = spd_case()
+        res = []
+        x, info = krylov.cg(from_scipy(A), jnp.asarray(b), tol=1e-10,
+                            maxiter=300, residuals=res)
+        assert info == 0
+        gold = scipy.linalg.solve(A.toarray(), b)
+        np.testing.assert_allclose(np.asarray(x), gold, rtol=1e-7, atol=1e-8)
+        assert res[-1] / res[0] < 1e-9
+        assert len(res) >= 2
+
+    def test_cg_x0(self):
+        A, b = spd_case(seed=2)
+        gold = scipy.linalg.solve(A.toarray(), b)
+        x0 = gold + 1e-3 * np.random.default_rng(0).standard_normal(len(b))
+        x, info = krylov.cg(from_scipy(A), jnp.asarray(b),
+                            x0=jnp.asarray(x0), tol=1e-10, maxiter=200)
+        np.testing.assert_allclose(np.asarray(x), gold, rtol=1e-7, atol=1e-8)
+
+    def test_cg_preconditioned(self):
+        A, b = spd_case(seed=3)
+        Dinv = 1.0 / A.diagonal()
+        M = lambda v: jnp.asarray(Dinv) * v
+        res = []
+        x, info = krylov.cg(from_scipy(A), jnp.asarray(b), tol=1e-10,
+                            maxiter=300, M=M, residuals=res)
+        assert info == 0
+        gold = scipy.linalg.solve(A.toarray(), b)
+        np.testing.assert_allclose(np.asarray(x), gold, rtol=1e-7, atol=1e-8)
+
+    def test_cg_indefinite_aborts(self):
+        A = sp.csr_matrix(np.diag([1.0, -1.0, 2.0, 3.0]))
+        b = np.ones(4)
+        x, info = krylov.cg(from_scipy(A), jnp.asarray(b), maxiter=10)
+        assert info == -1
+
+    def test_cg_callback_path(self):
+        A, b = spd_case(seed=4)
+        calls = []
+        x, info = krylov.cg(from_scipy(A), jnp.asarray(b), tol=1e-8,
+                            maxiter=200, callback=lambda xk: calls.append(1))
+        assert info == 0 and len(calls) > 0
+
+    @pytest.mark.parametrize("criteria", ["rr", "MrMr", "rMr"])
+    def test_cg_criteria(self, criteria):
+        A, b = spd_case(seed=5)
+        x, info = krylov.cg(from_scipy(A), jnp.asarray(b), tol=1e-8,
+                            criteria=criteria, maxiter=300)
+        assert info == 0
+        r = b - A @ np.asarray(x)
+        assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-5
+
+
+class TestGMRES:
+    def test_gmres_nonsymmetric(self):
+        A, b = nonsym_case()
+        res = []
+        x, info = krylov.gmres(from_scipy(A), jnp.asarray(b), tol=1e-10,
+                               maxiter=40, residuals=res)
+        gold = scipy.linalg.solve(A.toarray(), b)
+        np.testing.assert_allclose(np.asarray(x), gold, rtol=1e-6, atol=1e-7)
+
+    def test_gmres_restarted(self):
+        A, b = nonsym_case(seed=2)
+        x, info = krylov.gmres(from_scipy(A), jnp.asarray(b), tol=1e-10,
+                               restart=10, maxiter=50)
+        gold = scipy.linalg.solve(A.toarray(), b)
+        np.testing.assert_allclose(np.asarray(x), gold, rtol=1e-6, atol=1e-7)
+
+    def test_gmres_preconditioned(self):
+        A, b = nonsym_case(seed=3)
+        Dinv = jnp.asarray(1.0 / A.diagonal())
+        M = lambda v: Dinv * v
+        x, info = krylov.gmres(from_scipy(A), jnp.asarray(b), tol=1e-10,
+                               maxiter=60, M=M)
+        gold = scipy.linalg.solve(A.toarray(), b)
+        np.testing.assert_allclose(np.asarray(x), gold, rtol=1e-6, atol=1e-7)
+
+    def test_fgmres(self):
+        A, b = nonsym_case(seed=4)
+        Dinv = jnp.asarray(1.0 / A.diagonal())
+        M = lambda v: Dinv * v
+        x, info = krylov.fgmres(from_scipy(A), jnp.asarray(b), tol=1e-10,
+                                maxiter=60, M=M)
+        gold = scipy.linalg.solve(A.toarray(), b)
+        np.testing.assert_allclose(np.asarray(x), gold, rtol=1e-6, atol=1e-7)
+
+    def test_gmres_spd(self):
+        A, b = spd_case(seed=6)
+        x, info = krylov.gmres(from_scipy(A), jnp.asarray(b), tol=1e-10,
+                               maxiter=64)
+        gold = scipy.linalg.solve(A.toarray(), b)
+        np.testing.assert_allclose(np.asarray(x), gold, rtol=1e-6, atol=1e-7)
+
+    def test_gmres_complex(self):
+        rng = np.random.default_rng(7)
+        n = 20
+        Ad = np.eye(n) * 4 + 0.3 * (rng.standard_normal((n, n))
+                                    + 1j * rng.standard_normal((n, n)))
+        A = sp.csr_matrix(Ad)
+        b = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        x, info = krylov.gmres(from_scipy(A), jnp.asarray(b), tol=1e-10,
+                               maxiter=n + 5)
+        gold = scipy.linalg.solve(Ad, b)
+        np.testing.assert_allclose(np.asarray(x), gold, rtol=1e-6, atol=1e-7)
+
+
+class TestOthers:
+    def test_bicgstab(self):
+        A, b = nonsym_case(seed=8)
+        x, info = krylov.bicgstab(from_scipy(A), jnp.asarray(b), tol=1e-10,
+                                  maxiter=200)
+        gold = scipy.linalg.solve(A.toarray(), b)
+        np.testing.assert_allclose(np.asarray(x), gold, rtol=1e-5, atol=1e-6)
+
+    def test_cgnr(self):
+        A, b = nonsym_case(seed=9)
+        x, info = krylov.cgnr(from_scipy(A), jnp.asarray(b), tol=1e-12,
+                              maxiter=300)
+        gold = scipy.linalg.solve(A.toarray(), b)
+        np.testing.assert_allclose(np.asarray(x), gold, rtol=1e-4, atol=1e-5)
+
+    def test_cgne(self):
+        A, b = nonsym_case(seed=10)
+        x, info = krylov.cgne(from_scipy(A), jnp.asarray(b), tol=1e-12,
+                              maxiter=300)
+        gold = scipy.linalg.solve(A.toarray(), b)
+        np.testing.assert_allclose(np.asarray(x), gold, rtol=1e-4, atol=1e-5)
+
+    def test_cr(self):
+        A, b = spd_case(seed=11)
+        x, info = krylov.cr(from_scipy(A), jnp.asarray(b), tol=1e-10,
+                            maxiter=300)
+        gold = scipy.linalg.solve(A.toarray(), b)
+        np.testing.assert_allclose(np.asarray(x), gold, rtol=1e-6, atol=1e-7)
+
+    def test_minimal_residual(self):
+        A, b = spd_case(seed=12)
+        res = []
+        x, info = krylov.minimal_residual(from_scipy(A), jnp.asarray(b),
+                                          tol=1e-3, maxiter=500,
+                                          residuals=res)
+        assert res[-1] / res[0] < 1e-3
+
+    def test_steepest_descent(self):
+        A, b = spd_case(seed=13)
+        res = []
+        x, info = krylov.steepest_descent(from_scipy(A), jnp.asarray(b),
+                                          tol=1e-3, maxiter=500,
+                                          residuals=res)
+        assert res[-1] / res[0] < 1e-3
