@@ -9,8 +9,10 @@ time, iteration count (PyAMG paper artifact: 21 standalone V-cycles /
 ~10 CG iters on this problem class), baseline = scipy CSR SpMV on this
 host (the reference's compute substrate).
 
-All timed loops run **inside one jit** (the axon tunnel costs ~10 ms per
-eager dispatch; see .claude/skills/verify/SKILL.md).
+Flow: setup runs on host CPU (latency-bound graph algorithms), then the
+hierarchy ships to the accelerator via ``ml.to_device`` and all timed
+loops run **inside one jit** (the axon tunnel costs ~10 ms per eager
+dispatch; see .claude/skills/verify/SKILL.md).
 """
 
 import json
@@ -19,6 +21,9 @@ import time
 import numpy as np
 
 import jax
+
+jax.config.update("jax_enable_x64", True)
+
 import jax.numpy as jnp
 
 
@@ -32,19 +37,16 @@ def timed(f, *args, warmup=1, iters=5):
 
 
 def main():
-    # TPU path; fall back gracefully to CPU if no accelerator.
+    dev = jax.devices()[0]
     try:
-        dev = jax.devices()[0]
+        cpu = jax.local_devices(backend="cpu")[0]
     except Exception:
-        import os
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        dev = jax.devices()[0]
+        cpu = dev
 
-    # f64 on TPU is emulated; use f64 where supported for the 1e-10 target,
-    # else f32 storage with f64 accumulation disabled -> relax tol.
+    # f64 on TPU is emulated; probe it for the 1e-10 target.
     try:
-        jax.config.update("jax_enable_x64", True)
-        _ = (jnp.zeros((8,), jnp.float64) + 1.0).block_until_ready()
+        _ = jax.block_until_ready(
+            jax.device_put(jnp.zeros((8,), jnp.float64), dev) + 1.0)
         dtype = jnp.float64
         tol = 1e-10
     except Exception:
@@ -57,42 +59,43 @@ def main():
     from pyamg_tpu.sparse import to_scipy
 
     N = 500
-    A = poisson((N, N))
-    A = A.astype(dtype)
-    n = A.shape[0]
-    nnz = A.nnz
+    with jax.default_device(cpu):
+        A = poisson((N, N)).astype(dtype)
+        n = A.shape[0]
+        nnz = A.nnz
+        t_setup0 = time.perf_counter()
+        ml = smoothed_aggregation_solver(A, max_coarse=10)
+        setup_time = time.perf_counter() - t_setup0
+        # SpGEMM throughput measured on host (setup-phase op)
+        P = ml.levels[0].P
+        R = ml.levels[0].R
+        t_rap0 = time.perf_counter()
+        Ac = ops.spgemm(R, ops.spgemm(A, P))
+        jax.block_until_ready(Ac.vals)
+        t_rap = time.perf_counter() - t_rap0
+        spgemm_nnz_s = (nnz * P.width + Ac.nnz * R.width) / t_rap
+
+    levels = len(ml.levels)
+    opc = ml.operator_complexity()
+    ml.compress_stencils()       # banded fast path for stencil operators
+    ml.to_device(dev)
+    A_dev = ml.levels[0].A
     rng = np.random.default_rng(2022)
-    b = jnp.asarray(rng.standard_normal(n), dtype)
+    b = jax.device_put(jnp.asarray(rng.standard_normal(n), dtype), dev)
 
     # --- SpMV throughput (loop inside one jit) ---
     K = 50
 
+    from pyamg_tpu.ops.spmv import matvec as _mv
+
     @jax.jit
     def spmv_loop(A, x):
         def body(i, x):
-            return ops.spmv(A, x) * 0.999
+            return _mv(A, x) * 0.999
         return jax.lax.fori_loop(0, K, body, x)
 
-    t_spmv, _ = timed(spmv_loop, A, b, warmup=1, iters=3)
+    t_spmv, _ = timed(spmv_loop, A_dev, b, warmup=1, iters=3)
     spmv_nnz_s = nnz * K / t_spmv
-
-    # --- SpGEMM throughput: Galerkin A @ P with SA tentative-smoothed P ---
-    t_setup0 = time.perf_counter()
-    ml = smoothed_aggregation_solver(A, max_coarse=10)
-    setup_time = time.perf_counter() - t_setup0
-    P = ml.levels[0].P
-    R = ml.levels[0].R
-
-    def rap(A, P, R):
-        return ops.spgemm(R, ops.spgemm(A, P, width=ml.levels[0].P.width * 3),
-                          width=ml.levels[1].A.width)
-
-    t_rap0 = time.perf_counter()
-    Ac = rap(A, P, R)
-    jax.block_until_ready(Ac.vals)
-    t_rap = time.perf_counter() - t_rap0
-    # flops proxy: every (A nnz) x (P row width) multiply-add, twice
-    spgemm_nnz_s = (nnz * P.width + Ac.nnz * R.width) / t_rap
 
     # --- V-cycle time ---
     cyc = ml._get_cycle("V")
@@ -102,9 +105,12 @@ def main():
     def vcycle(dyn, x, b):
         return cyc(dyn, x, b)
 
-    t_cycle, _ = timed(vcycle, dyn, jnp.zeros_like(b), b, warmup=1, iters=5)
+    t_cycle, _ = timed(vcycle, dyn, jnp.zeros_like(b), b, warmup=1,
+                       iters=5)
 
     # --- full solve to tol with CG acceleration ---
+    res = []
+    ml.solve(b, tol=tol, maxiter=100, accel="cg", residuals=res)  # warm
     res = []
     t0 = time.perf_counter()
     x = ml.solve(b, tol=tol, maxiter=100, accel="cg", residuals=res)
@@ -115,7 +121,7 @@ def main():
 
     # --- baseline: scipy CSR SpMV on this host (reference substrate) ---
     As = to_scipy(A)
-    xs = np.asarray(b)
+    xs = np.asarray(rng.standard_normal(n))
     for _ in range(2):
         ys = As @ xs
     t0 = time.perf_counter()
@@ -138,10 +144,9 @@ def main():
         "scipy_spmv_gnnz_per_s": scipy_nnz_s / 1e9,
         "vcycle_ms": t_cycle * 1e3,
         "setup_s": setup_time,
-        "levels": len(ml.levels),
-        "operator_complexity": ml.operator_complexity(),
-        "dtype": str(dtype.__name__ if hasattr(dtype, "__name__")
-                     else dtype),
+        "levels": levels,
+        "operator_complexity": opc,
+        "dtype": str(np.dtype(dtype).name),
         "device": str(dev),
     }
     print(json.dumps(out))

@@ -51,17 +51,50 @@ def adaptive_sa_solver(A, initial_candidates=None, symmetry="hermitian",
             A, B=B, symmetry=symmetry, strength=strength,
             aggregate=aggregate, smooth=smooth,
             presmoother=prepostsmoother, postsmoother=prepostsmoother,
-            improve_candidates=None, max_levels=max_levels,
+            max_levels=max_levels,
             max_coarse=max_coarse, coarse_solver=coarse_solver,
             keep=keep, **kwargs)
 
     # --- initial stage: bootstrap the first candidate --------------------
+    # Down-up pass over a trial hierarchy (reference initial_setup_stage,
+    # ``adaptive.py:361``): relax on A x = 0 at every level going down,
+    # then interpolate back up relaxing again, so the candidate is
+    # algebraically smooth at all scales.
     if initial_candidates is None:
         x = jnp.asarray(rng.standard_normal(n), A.dtype)
         x = _relax_on_homogeneous(A, x, prepostsmoother, candidate_iters)
+        work[0] += A.nnz * candidate_iters
+        from pyamg_tpu.strength import strength_measure
+        from pyamg_tpu.aggregation.aggregate import aggregate_dispatch
+        from pyamg_tpu.aggregation.tentative import fit_candidates
+        from pyamg_tpu.aggregation.smooth import smooth_prolongator
+        from pyamg_tpu.aggregation.aggregation import _galerkin, _transpose
+        trail = []
+        A_l, x_l = A, x
+        while A_l.shape[0] > max_coarse and len(trail) + 1 < max_levels:
+            C = strength_measure(A_l, strength)
+            AggOp, _ = aggregate_dispatch(C, aggregate, seed=seed)
+            if AggOp.shape[1] == 0 or AggOp.shape[1] >= AggOp.shape[0]:
+                break
+            T, xc = fit_candidates(AggOp, x_l[:, None])
+            P = smooth_prolongator(smooth, A_l, T, C, xc)
+            R = _transpose(P, conjugate=True)
+            Ac = _galerkin(R, A_l, P)
+            trail.append((A_l, P))
+            A_l = Ac
+            x_l = xc[:, 0]
+            x_l = _relax_on_homogeneous(A_l, x_l, prepostsmoother,
+                                        candidate_iters)
+            work[0] += A_l.nnz * candidate_iters
+        for A_l, P in reversed(trail):
+            from pyamg_tpu.ops.spmv import matvec
+            x_l = matvec(P, x_l)
+            x_l = _relax_on_homogeneous(A_l, x_l, prepostsmoother,
+                                        candidate_iters)
+            work[0] += A_l.nnz * candidate_iters
+        x = x_l
         nrm = jnp.linalg.norm(x)
         B = (x / jnp.where(nrm == 0, 1, nrm))[:, None]
-        work[0] += A.nnz * candidate_iters
     else:
         B = jnp.asarray(initial_candidates, A.dtype)
         if B.ndim == 1:
@@ -69,6 +102,32 @@ def adaptive_sa_solver(A, initial_candidates=None, symmetry="hermitian",
 
     ml = build(B)
     work[0] += sum(l.A.nnz for l in ml.levels)
+
+    # Self-improvement loop (general_setup_stage for the single-candidate
+    # case): cycling on A x = 0 exposes the current solver's slowest mode;
+    # it becomes the next candidate.  Each round also *measures* the
+    # current solver's factor, and the best solver seen wins.
+    if initial_candidates is None:
+        b0 = jnp.zeros((n,), A.dtype)
+        best_ml, best_rho = ml, np.inf
+        for _ in range(3):
+            x0v = jnp.asarray(rng.standard_normal(n), A.dtype)
+            x = ml.solve(b0, x0=x0v, maxiter=candidate_iters, tol=1e-16,
+                         cycle="V")
+            work[0] += sum(l.A.nnz for l in ml.levels) * candidate_iters
+            nrm = float(jnp.linalg.norm(x))
+            rho = (nrm / float(jnp.linalg.norm(x0v))) ** \
+                (1.0 / candidate_iters)
+            if rho < best_rho:
+                best_ml, best_rho = ml, rho
+            if rho < 0.1 or nrm < 1e-12:
+                break
+            B = (x / nrm)[:, None]
+            ml = build(B)
+            work[0] += sum(l.A.nnz for l in ml.levels)
+        if best_rho < np.inf:
+            ml = best_ml
+            B = ml.levels[0].B
 
     # --- general stage: grow the candidate set ---------------------------
     for _ in range(max(num_candidates - 1, 0)):

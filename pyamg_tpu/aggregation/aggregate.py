@@ -207,20 +207,23 @@ def _one_matching(A: ELL, seed=0):
     # Notay: match along most negative off-diagonal. Use weight = -Re(a_ij).
     w = -jnp.real(A.vals)
     w = jnp.where(mask, w, -jnp.inf)
+    scale = float(jnp.max(jnp.where(jnp.isfinite(w), jnp.abs(w), 0))) or 1.0
     partner = jnp.full((n,), -1, jnp.int32)
     rng = np.random.default_rng(seed)
-    tie = jnp.asarray(rng.permutation(n))
 
     live = jnp.ones((n,), bool)
-    for _ in range(4):   # a few handshake rounds matches most of the graph
-        ww = jnp.where(live[A.cols] & mask & live[:, None], w, -jnp.inf)
+    for _ in range(12):
+        # fresh random tie-break each round so equal-weight neighborhoods
+        # (constant-coefficient stencils) still pair up
+        tie = jnp.asarray(rng.random(n)) * (1e-6 * scale)
+        key = w + tie[A.cols]
+        ww = jnp.where(live[A.cols] & mask & live[:, None], key, -jnp.inf)
         j = jnp.argmax(ww, axis=1)
         tgt = jnp.take_along_axis(A.cols, j[:, None], axis=1)[:, 0]
         ok = jnp.take_along_axis(ww, j[:, None], axis=1)[:, 0] > -jnp.inf
         tgt = jnp.where(ok & live, tgt, -1)
         mutual = (tgt >= 0) & (tgt[jnp.where(tgt >= 0, tgt, 0)] == rows)
-        newpart = jnp.where(mutual & (partner < 0), tgt, partner)
-        partner = newpart
+        partner = jnp.where(mutual & (partner < 0), tgt, partner)
         live = live & (partner < 0)
         if not bool(jnp.any(live)):
             break

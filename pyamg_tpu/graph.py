@@ -250,7 +250,7 @@ def kmeanspp_seed(G: ELL, nc, seed=0):
     centers = [int(rng.integers(n))]
     for _ in range(nc - 1):
         d, _ = bellman_ford(G, np.asarray(centers))
-        d = np.asarray(d)
+        d = np.array(d)
         d[~np.isfinite(d)] = d[np.isfinite(d)].max() + 1 if \
             np.isfinite(d).any() else 1.0
         p = d ** 2
@@ -355,7 +355,7 @@ def center_nodes(G: ELL, clusters, nc, maxsize=None):
         m = min(m, maxsize)
     members, D = _cluster_floyd_warshall(G, cl, nc, max(m, 1))
     ok = members >= 0
-    Dn = np.asarray(D)
+    Dn = np.array(D)
     Dn[~np.isfinite(Dn)] = 1e30
     rowsum = (Dn * ok[:, None, :]).sum(axis=2)
     rowsum[~ok] = np.inf

@@ -17,7 +17,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from pyamg_tpu.sparse.matrix import ELL, BELL
+from pyamg_tpu.sparse.matrix import ELL, BELL, DIA
 from pyamg_tpu.ops.spmv import matvec as sp_matvec
 
 
@@ -26,6 +26,9 @@ def as_matvec(A):
     if isinstance(A, (ELL, BELL)):
         return (lambda v: sp_matvec(A, v)), A.shape[0], A.dtype, \
             (lambda: jnp.sqrt(jnp.sum(jnp.abs(A.vals) ** 2)))
+    if isinstance(A, DIA):
+        return (lambda v: sp_matvec(A, v)), A.shape[0], A.dtype, \
+            (lambda: jnp.sqrt(jnp.sum(jnp.abs(A.data) ** 2)))
     if callable(getattr(A, "matvec", None)):
         n = A.shape[0]
         dt = getattr(A, "dtype", jnp.float64)
@@ -41,7 +44,7 @@ def as_matvec(A):
 def as_precond(M):
     if M is None:
         return lambda v: v
-    if isinstance(M, (ELL, BELL)):
+    if isinstance(M, (ELL, BELL, DIA)):
         return lambda v: sp_matvec(M, v)
     if callable(getattr(M, "matvec", None)):
         return M.matvec

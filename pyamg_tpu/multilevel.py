@@ -256,6 +256,9 @@ class MultilevelSolver:
             return x
 
         def cyc_fn(dyn, x, b):
+            if nlev == 1:      # degenerate hierarchy: direct coarse solve
+                _, Ac, cparams = dyn
+                return coarse_apply(Ac, cparams, b)
             return go(dyn, 0, x, b, cycle)
 
         return cyc_fn
@@ -292,6 +295,21 @@ class MultilevelSolver:
 
     def psolve(self, b):
         return self.aspreconditioner().matvec(jnp.asarray(b))
+
+    def compress_stencils(self, max_diags=64):
+        """Convert each level's square ELL operator to the banded DIA
+        layout when its offset structure is narrow (true for stencil
+        problems and their Galerkin coarsenings).  DIA SpMV is gather-free
+        — the TPU fast path.  P/R stay in ELL (rectangular)."""
+        from pyamg_tpu.sparse.matrix import dia_from_ell
+        for lvl in self.levels:
+            if isinstance(lvl.A, ELL):
+                D = dia_from_ell(lvl.A, max_diags=max_diags)
+                if D is not None:
+                    lvl.A_ell = lvl.A
+                    lvl.A = D
+        self._cycle_cache.clear()
+        return self
 
     def to_device(self, device):
         """Move every level's arrays (operators, smoother params, coarse

@@ -18,7 +18,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from pyamg_tpu.sparse.matrix import ELL, BELL
+from pyamg_tpu.sparse.matrix import ELL, BELL, DIA
 
 
 def spmv(A: ELL, x: jax.Array) -> jax.Array:
@@ -59,10 +59,34 @@ def bspmv(A: BELL, x: jax.Array) -> jax.Array:
     return y.reshape(nb * br, k)
 
 
+def dia_spmv(A: DIA, x: jax.Array) -> jax.Array:
+    """y = A @ x for banded A: a sum of shifted elementwise products.
+
+    Gather-free — each diagonal contributes ``data[d] * x[i + off]`` via a
+    static slice of a zero-padded x.  XLA fuses the whole sum into one
+    streaming pass, which is the TPU speed-of-light formulation for
+    stencil operators (vs. the gather-based ELL path).
+    """
+    n = A.shape[0]
+    offs = A.offsets
+    lo = max(0, -min(offs))
+    hi = max(0, max(offs))
+    pad = [(lo, hi)] + [(0, 0)] * (x.ndim - 1)
+    xp = jnp.pad(x, pad)
+    acc = None
+    for d, off in enumerate(offs):
+        xs = jax.lax.slice_in_dim(xp, lo + off, lo + off + n, axis=0)
+        term = A.data[d][(...,) + (None,) * (x.ndim - 1)] * xs
+        acc = term if acc is None else acc + term
+    return acc
+
+
 def matvec(A, x):
     """Dispatch on container type."""
     if isinstance(A, BELL):
         return bspmv(A, x)
+    if isinstance(A, DIA):
+        return dia_spmv(A, x)
     return spmv(A, x)
 
 
@@ -71,6 +95,8 @@ def extract_diagonal(A) -> jax.Array:
 
     Reference: ``pyamg/util/utils.py:541`` (``get_diagonal``).
     """
+    if isinstance(A, DIA):
+        return A.diagonal()
     if isinstance(A, BELL):
         br, bc = A.blocksize
         assert br == bc

@@ -261,6 +261,9 @@ def change_smoothers(ml, presmoother, postsmoother):
     """Attach smoother descriptors to every level (reference
     ``smoothing.py:75``)."""
     npre = len(ml.levels) - 1
+    if npre == 0:           # single-level hierarchy: nothing to smooth
+        ml.symmetric_smoothing = True
+        return
     pres = presmoother if isinstance(presmoother, list) else \
         [presmoother] * npre
     posts = postsmoother if isinstance(postsmoother, list) else \

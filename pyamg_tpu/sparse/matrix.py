@@ -193,6 +193,98 @@ class BELL:
                 f"width={self.width}, dtype={self.vals.dtype})")
 
 
+@partial(jax.tree_util.register_dataclass,
+         data_fields=("data",), meta_fields=("offsets", "shape"))
+@dataclasses.dataclass(frozen=True)
+class DIA:
+    """Banded (diagonal) sparse matrix — the TPU fast path for stencils.
+
+    ``data[d, i] = A[i, i + offsets[d]]`` (0 outside the band/bounds).
+    SpMV becomes a sum of shifted elementwise products — no gathers, pure
+    streaming, which is what the VPU/HBM pipeline wants.  Offsets are
+    static so every op specializes at trace time.
+    """
+
+    data: jax.Array            # (ndiag, n)
+    offsets: Tuple[int, ...]   # static, sorted
+    shape: Tuple[int, int]
+
+    @property
+    def n_rows(self) -> int:
+        return self.shape[0]
+
+    @property
+    def n_cols(self) -> int:
+        return self.shape[1]
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def blocksize(self) -> Tuple[int, int]:
+        return (1, 1)
+
+    @property
+    def nnz(self) -> int:
+        return int(jnp.sum(self.data != 0))
+
+    def mv(self, x):
+        from pyamg_tpu.ops.spmv import dia_spmv
+        return dia_spmv(self, x)
+
+    def __matmul__(self, x):
+        from pyamg_tpu.ops.spmv import dia_spmv
+        return dia_spmv(self, x)
+
+    def diagonal(self):
+        if 0 in self.offsets:
+            return self.data[self.offsets.index(0)]
+        return jnp.zeros((self.shape[0],), self.data.dtype)
+
+    def astype(self, dtype):
+        return DIA(self.data.astype(dtype), self.offsets, self.shape)
+
+    def __repr__(self):
+        return (f"DIA(shape={self.shape}, ndiags={len(self.offsets)}, "
+                f"dtype={self.data.dtype})")
+
+
+def dia_from_ell(A: ELL, max_diags: int = 64):
+    """Convert a square ELL to DIA if its offset structure is narrow
+    enough; returns None otherwise (host-side, setup phase)."""
+    if A.shape[0] != A.shape[1]:
+        return None
+    n = A.shape[0]
+    cols = np.asarray(A.cols)
+    vals = np.asarray(A.vals)
+    valid = np.arange(A.width)[None, :] < np.asarray(A.row_nnz)[:, None]
+    offs = cols - np.arange(n)[:, None]
+    uniq = np.unique(offs[valid & (vals != 0)]) if valid.any() else \
+        np.zeros((0,), np.int64)
+    if len(uniq) == 0 or len(uniq) > max_diags:
+        return None
+    lut = {int(o): d for d, o in enumerate(uniq)}
+    data = np.zeros((len(uniq), n), vals.dtype)
+    r, k = np.nonzero(valid & (vals != 0))
+    d = np.array([lut[int(o)] for o in offs[r, k]])
+    data[d, r] = vals[r, k]
+    return DIA(jnp.asarray(data), tuple(int(o) for o in uniq),
+               (n, n))
+
+
+def ell_from_dia(A: DIA) -> ELL:
+    """DIA back to ELL (host-side)."""
+    import scipy.sparse as sp
+    n = A.shape[0]
+    data = np.asarray(A.data)
+    M = sp.dia_matrix((np.stack([np.roll(data[d], off)
+                                 for d, off in enumerate(A.offsets)]),
+                       np.asarray(A.offsets)), shape=A.shape).tocsr()
+    M.eliminate_zeros()
+    return from_scipy(M)
+
+
 # ---------------------------------------------------------------------------
 # Host-side constructors / converters
 # ---------------------------------------------------------------------------

@@ -226,3 +226,38 @@ class TestArith:
         C = to_scipy(ops.with_diagonal(from_scipy(A), jnp.asarray(d)))
         gold = A - sp.diags(A.diagonal()) + sp.diags(d)
         assert abs(C - gold).max() < 1e-13
+
+
+class TestDIA:
+    """Banded fast path (DIA) equals the ELL gather path bitwise."""
+
+    def test_dia_roundtrip_and_spmv(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from pyamg_tpu.gallery import poisson
+        from pyamg_tpu.sparse.matrix import (dia_from_ell, ell_from_dia,
+                                             to_scipy)
+        from pyamg_tpu.ops.spmv import spmv, dia_spmv
+        A = poisson((13, 7))
+        D = dia_from_ell(A)
+        assert D is not None and len(D.offsets) == 5
+        x = jnp.asarray(np.random.default_rng(0).standard_normal(91))
+        assert float(jnp.max(jnp.abs(spmv(A, x) - dia_spmv(D, x)))) == 0.0
+        assert abs(to_scipy(ell_from_dia(D)) - to_scipy(A)).max() == 0.0
+
+    def test_compress_stencils_preserves_solve(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from pyamg_tpu.gallery import poisson
+        from pyamg_tpu.aggregation import smoothed_aggregation_solver
+        A = poisson((16, 16))
+        ml = smoothed_aggregation_solver(A, max_coarse=10)
+        x0 = jnp.asarray(np.random.default_rng(1).standard_normal(256))
+        res0 = []
+        ml.solve(jnp.zeros(256), x0=x0, maxiter=8, tol=1e-12,
+                 residuals=res0)
+        ml.compress_stencils()
+        res1 = []
+        ml.solve(jnp.zeros(256), x0=x0, maxiter=8, tol=1e-12,
+                 residuals=res1)
+        np.testing.assert_allclose(res0, res1, rtol=1e-9)
