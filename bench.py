@@ -3,125 +3,123 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
-Headline metric: time to solve 2D Poisson 500x500 to rel-res 1e-10 with
-SA-AMG-CG on one chip.  Extras: SpMV and SpGEMM throughput (nnz/s), V-cycle
-time, iteration count (PyAMG paper artifact: 21 standalone V-cycles /
-~10 CG iters on this problem class), baseline = scipy CSR SpMV on this
-host (the reference's compute substrate).
+Headline: wall seconds to solve 2D Poisson 500x500 (250k unknowns) to
+TRUE relative residual 1e-10 on one TPU chip, warm (post-compile) —
+mixed-precision flow: f32 grid-structured SA hierarchy on device
+(DIA operators + PhaseStencil transfers, gather-free), f64 defect
+correction on host (reference target: 1e-10, PyAMG paper artifact
+docs/paper/example.res.txt).
 
-Flow: setup runs on host CPU (latency-bound graph algorithms), then the
-hierarchy ships to the accelerator via ``ml.to_device`` and all timed
-loops run **inside one jit** (the axon tunnel costs ~10 ms per eager
-dispatch; see .claude/skills/verify/SKILL.md).
+Extras: SpMV throughput (nnz/s, DIA f32 on chip), V-cycle time, inner CG
+iterations, setup time, operator complexity; baseline = scipy CSR SpMV
+nnz/s on this host (the reference's compute substrate).
+
+All timed loops run inside one jit (the axon tunnel costs ~10 ms per
+eager dispatch; see .claude/skills/verify/SKILL.md).
 """
 
 import json
 import time
 
 import numpy as np
-
 import jax
-
-jax.config.update("jax_enable_x64", True)
-
 import jax.numpy as jnp
-
-
-def timed(f, *args, warmup=1, iters=5):
-    for _ in range(warmup):
-        jax.block_until_ready(f(*args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = jax.block_until_ready(f(*args))
-    return (time.perf_counter() - t0) / iters, out
 
 
 def main():
     dev = jax.devices()[0]
-    try:
-        cpu = jax.local_devices(backend="cpu")[0]
-    except Exception:
-        cpu = dev
-
-    # f64 on TPU is emulated; probe it for the 1e-10 target.
-    try:
-        _ = jax.block_until_ready(
-            jax.device_put(jnp.zeros((8,), jnp.float64), dev) + 1.0)
-        dtype = jnp.float64
-        tol = 1e-10
-    except Exception:
-        dtype = jnp.float32
-        tol = 1e-6
 
     from pyamg_tpu.gallery import poisson
     from pyamg_tpu.aggregation import smoothed_aggregation_solver
-    from pyamg_tpu import ops
-    from pyamg_tpu.sparse import to_scipy
+    from pyamg_tpu.sparse.matrix import to_scipy
+    from pyamg_tpu.ops.spmv import matvec as _mv
+    from pyamg_tpu.ops import spgemm
 
     N = 500
-    with jax.default_device(cpu):
-        A = poisson((N, N)).astype(dtype)
-        n = A.shape[0]
-        nnz = A.nnz
-        t_setup0 = time.perf_counter()
-        ml = smoothed_aggregation_solver(A, max_coarse=10)
-        setup_time = time.perf_counter() - t_setup0
-        # SpGEMM throughput measured on host (setup-phase op)
-        P = ml.levels[0].P
-        R = ml.levels[0].R
-        t_rap0 = time.perf_counter()
-        Ac = ops.spgemm(R, ops.spgemm(A, P))
-        jax.block_until_ready(Ac.vals)
-        t_rap = time.perf_counter() - t_rap0
-        spgemm_nnz_s = (nnz * P.width + Ac.nnz * R.width) / t_rap
+    A64 = poisson((N, N))                      # f64, host-backed ELL
+    n = A64.shape[0]
+    nnz = A64.nnz
+    As = to_scipy(A64)
 
+    t0 = time.perf_counter()
+    ml = smoothed_aggregation_solver(A64.astype(jnp.float32),
+                                     aggregate=("grid", {}), max_coarse=10)
+    setup_time = time.perf_counter() - t0
     levels = len(ml.levels)
-    opc = ml.operator_complexity()
-    ml.compress_stencils()       # banded fast path for stencil operators
+    opc = float(ml.operator_complexity())
+
+    # SpGEMM throughput (setup-phase op, host scipy path by design)
+    P = ml.levels[0].P
+    R = ml.levels[0].R
+    t0 = time.perf_counter()
+    Ac = spgemm(R, spgemm(A64.astype(jnp.float32), P))
+    t_rap = time.perf_counter() - t0
+    spgemm_nnz_s = (nnz * P.width + Ac.nnz * R.width) / t_rap
+
+    ml.compress_stencils()                     # DIA + PhaseStencil layouts
     ml.to_device(dev)
-    A_dev = ml.levels[0].A
+
     rng = np.random.default_rng(2022)
-    b = jax.device_put(jnp.asarray(rng.standard_normal(n), dtype), dev)
+    b = rng.standard_normal(n)
+    b32 = jax.device_put(jnp.asarray(b, jnp.float32), dev)
 
-    # --- SpMV throughput (loop inside one jit) ---
-    K = 50
-
-    from pyamg_tpu.ops.spmv import matvec as _mv
+    # --- SpMV throughput: banded (DIA) f32 fine operator, loop in one jit
+    A_dev = ml.levels[0].A
+    K = 100
 
     @jax.jit
     def spmv_loop(A, x):
-        def body(i, x):
-            return _mv(A, x) * 0.999
+        def body(i, y):
+            return _mv(A, y) / jnp.float32(1.0001)
         return jax.lax.fori_loop(0, K, body, x)
 
-    t_spmv, _ = timed(spmv_loop, A_dev, b, warmup=1, iters=3)
-    spmv_nnz_s = nnz * K / t_spmv
+    jax.block_until_ready(spmv_loop(A_dev, b32))
+    t0 = time.perf_counter()
+    jax.block_until_ready(spmv_loop(A_dev, b32))
+    t_spmv = (time.perf_counter() - t0) / K
+    spmv_nnz_s = nnz / t_spmv
 
-    # --- V-cycle time ---
+    # --- V-cycle time (one jit application)
     cyc = ml._get_cycle("V")
     dyn = ml._dyn()
-
-    @jax.jit
-    def vcycle(dyn, x, b):
-        return cyc(dyn, x, b)
-
-    t_cycle, _ = timed(vcycle, dyn, jnp.zeros_like(b), b, warmup=1,
-                       iters=5)
-
-    # --- full solve to tol with CG acceleration ---
-    res = []
-    ml.solve(b, tol=tol, maxiter=100, accel="cg", residuals=res)  # warm
-    res = []
+    vcycle = jax.jit(lambda dyn, x, b: cyc(dyn, x, b))
+    z = jnp.zeros_like(b32)
+    jax.block_until_ready(vcycle(dyn, z, b32))
     t0 = time.perf_counter()
-    x = ml.solve(b, tol=tol, maxiter=100, accel="cg", residuals=res)
-    jax.block_until_ready(x)
-    t_solve = time.perf_counter() - t0
-    iters = len(res) - 1
-    rel = res[-1] / res[0]
+    for _ in range(10):
+        out = vcycle(dyn, z, b32)
+    jax.block_until_ready(out)
+    t_cycle = (time.perf_counter() - t0) / 10
 
-    # --- baseline: scipy CSR SpMV on this host (reference substrate) ---
-    As = to_scipy(A)
-    xs = np.asarray(rng.standard_normal(n))
+    # --- headline: mixed-precision solve to true rel-res 1e-10 (warm)
+    inner_iters = []
+
+    def counting_solve():
+        res_out = []
+        inner = 0
+        x64 = np.zeros(n)
+        normb = np.linalg.norm(b)
+        for _ in range(10):
+            r = b - As @ x64
+            nr = np.linalg.norm(r)
+            res_out.append(nr)
+            if nr <= 1e-10 * normb:
+                break
+            res_in = []
+            e = ml.solve(jnp.asarray(r / nr, jnp.float32), tol=1e-5,
+                         maxiter=30, accel="cg", residuals=res_in)
+            inner += len(res_in) - 1
+            x64 = x64 + nr * np.asarray(e, np.float64)[:n]
+        return x64, res_out, inner
+
+    counting_solve()                           # warm-up (compiles)
+    t0 = time.perf_counter()
+    x, res_out, inner = counting_solve()
+    t_solve = time.perf_counter() - t0
+    rel = float(np.linalg.norm(b - As @ x) / np.linalg.norm(b))
+
+    # --- baseline: scipy CSR SpMV on this host (reference substrate)
+    xs = rng.standard_normal(n)
     for _ in range(2):
         ys = As @ xs
     t0 = time.perf_counter()
@@ -134,19 +132,18 @@ def main():
     out = {
         "metric": "sa_amg_cg_solve_2d_poisson_500x500",
         "value": t_solve,
-        "unit": "seconds_to_rel_1e-10" if tol <= 1e-10 else
-                f"seconds_to_rel_{tol:g}",
+        "unit": "seconds_to_true_rel_1e-10_warm",
         "vs_baseline": spmv_nnz_s / scipy_nnz_s,
-        "iterations": iters,
-        "rel_residual": rel,
+        "true_rel_residual": rel,
+        "outer_iterations": len(res_out) - 1,
+        "inner_cg_iterations": inner,
         "spmv_gnnz_per_s": spmv_nnz_s / 1e9,
-        "spgemm_gflop_proxy_per_s": spgemm_nnz_s / 1e9,
+        "spgemm_gnnz_proxy_per_s": spgemm_nnz_s / 1e9,
         "scipy_spmv_gnnz_per_s": scipy_nnz_s / 1e9,
         "vcycle_ms": t_cycle * 1e3,
         "setup_s": setup_time,
         "levels": levels,
         "operator_complexity": opc,
-        "dtype": str(np.dtype(dtype).name),
         "device": str(dev),
     }
     print(json.dumps(out))

@@ -63,4 +63,10 @@ def __getattr__(name):
     if name == "gallery":
         import pyamg_tpu.gallery as gallery
         return gallery
+    if name == "util":
+        import pyamg_tpu.util as util
+        return util
+    if name == "test":
+        from pyamg_tpu._tools import PytestTester
+        return PytestTester(__name__)
     raise AttributeError(f"module 'pyamg_tpu' has no attribute {name!r}")

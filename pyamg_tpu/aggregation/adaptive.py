@@ -14,7 +14,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from pyamg_tpu.sparse.matrix import ELL, BELL, asarray_or_ell
+from pyamg_tpu.sparse.matrix import on_setup_device, ELL, BELL, asarray_or_ell
 from pyamg_tpu.relaxation.smoothing import make_smoother, apply_smoother
 from pyamg_tpu.aggregation.aggregation import smoothed_aggregation_solver
 
@@ -29,6 +29,7 @@ def _relax_on_homogeneous(A, x, spec, iterations):
     return x
 
 
+@on_setup_device
 def adaptive_sa_solver(A, initial_candidates=None, symmetry="hermitian",
                        pdef=True, num_candidates=1, candidate_iters=5,
                        improvement_iters=0, epsilon=0.1, max_levels=10,

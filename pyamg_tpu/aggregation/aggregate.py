@@ -33,13 +33,13 @@ def _neighbors_nodiag(C: ELL):
 
 
 def _aggop_from_labels(agg, nagg, dtype=jnp.float64):
-    """(n,) labels (-1 = unaggregated) -> (n x nagg) unit ELL."""
-    agg = jnp.asarray(agg, jnp.int32)
+    """(n,) labels (-1 = unaggregated) -> (n x nagg) unit ELL (host)."""
+    agg = np.asarray(agg, np.int32)
     n = agg.shape[0]
     has = agg >= 0
-    cols = jnp.where(has, agg, 0)[:, None]
-    vals = jnp.where(has, 1.0, 0.0)[:, None].astype(dtype)
-    row_nnz = has.astype(jnp.int32)
+    cols = np.where(has, agg, 0)[:, None]
+    vals = np.where(has, 1.0, 0.0)[:, None].astype(dtype)
+    row_nnz = has.astype(np.int32)
     return ELL(cols, vals, row_nnz, (n, int(nagg)))
 
 
@@ -276,9 +276,51 @@ def balanced_lloyd_aggregation(C: ELL, num_clusters=None, maxiter=5, seed=0):
                               C.vals.dtype), centers
 
 
+def grid_aggregation(C: ELL, ratio=3, grid=None):
+    """Tile a tensor grid into ``ratio``-sized box aggregates.
+
+    The TPU-structured analogue of ``standard_aggregation`` for stencil
+    operators: when the matrix carries grid metadata, aggregates are
+    axis-aligned tiles (``ratio`` per dim, default 3 — the SA coarsening
+    rate on Poisson, reference ``smoothed_aggregation.h:138``'s greedy
+    pass produces distance-1 aggregates of comparable size/quality).
+    Grid-aligned tiles make the resulting prolongator *phase-structured*,
+    unlocking the gather-free ``PhaseStencil`` transfer fast path.
+
+    Returns ``(AggOp, Cpts)`` with ``AggOp.grid``/``AggOp.col_grid`` set
+    to the fine/coarse grid shapes.
+    """
+    import dataclasses
+    g = tuple(grid) if grid is not None else getattr(C, "grid", None)
+    if g is None:
+        raise ValueError("grid aggregation requires grid metadata "
+                         "(A.grid or grid=...)")
+    nd = len(g)
+    if isinstance(ratio, int):
+        ratio = (ratio,) * nd
+    ratio = tuple(int(r) for r in ratio)
+    cgrid = tuple(-(-g[d] // ratio[d]) for d in range(nd))
+    n = int(np.prod(g))
+    coords = np.stack(np.unravel_index(np.arange(n), g), axis=1)
+    cell = coords // np.array(ratio)
+    labels = np.ravel_multi_index(cell.T, cgrid).astype(np.int32)
+    nagg = int(np.prod(cgrid))
+    AggOp = _aggop_from_labels(jnp.asarray(labels), nagg,
+                               dtype=C.dtype)
+    AggOp = dataclasses.replace(AggOp, grid=g, col_grid=cgrid)
+    # tile centers (clipped to the grid) as Cpts
+    ccoords = np.stack(np.unravel_index(np.arange(nagg), cgrid), axis=1)
+    centers = np.minimum(ccoords * np.array(ratio) + np.array(ratio) // 2,
+                         np.array(g) - 1)
+    Cpts = np.ravel_multi_index(centers.T, g).astype(np.int32)
+    return AggOp, jnp.asarray(Cpts)
+
+
 def aggregate_dispatch(C, spec, seed=0):
     from pyamg_tpu.relaxation.smoothing import unpack_arg
     name, opts = unpack_arg(spec)
+    if name == "grid":
+        return grid_aggregation(C, **opts)
     if name == "standard":
         return standard_aggregation(C, seed=seed, **opts)
     if name == "naive":

@@ -14,7 +14,7 @@ import warnings
 import numpy as np
 import jax.numpy as jnp
 
-from pyamg_tpu.sparse.matrix import ELL, BELL, asarray_or_ell
+from pyamg_tpu.sparse.matrix import on_setup_device, ELL, BELL, asarray_or_ell
 from pyamg_tpu.multilevel import MultilevelSolver, Level
 from pyamg_tpu.relaxation.smoothing import (
     change_smoothers, unpack_arg, make_smoother, apply_smoother)
@@ -43,10 +43,11 @@ def _improve_candidates(A, B, spec):
     if fn is None:
         return B
     kind, sopts, params = make_smoother(None, A, (fn, kwargs))
-    z = jnp.zeros_like(B)
-    return apply_smoother(kind, sopts, params, A, B, z)
+    z = np.zeros_like(np.asarray(B))
+    return apply_smoother(kind, sopts, params, A, np.asarray(B), z)
 
 
+@on_setup_device
 def smoothed_aggregation_solver(A, B=None, BH=None, symmetry="hermitian",
                                 strength="symmetric", aggregate="standard",
                                 smooth=("jacobi", {"omega": 4.0 / 3.0}),
@@ -70,16 +71,16 @@ def smoothed_aggregation_solver(A, B=None, BH=None, symmetry="hermitian",
     blocksize = A.blocksize[0] if isinstance(A, BELL) else 1
     if B is None:
         if blocksize == 1:
-            B = jnp.ones((n, 1), dtype=A.dtype)
+            B = np.ones((n, 1), dtype=A.dtype)
         else:
-            B = jnp.asarray(np.kron(np.ones((n // blocksize, 1)),
-                                    np.eye(blocksize)), dtype=A.dtype)
+            B = np.asarray(np.kron(np.ones((n // blocksize, 1)),
+                                   np.eye(blocksize)), dtype=A.dtype)
     else:
-        B = jnp.asarray(B, dtype=A.dtype)
+        B = np.asarray(B, dtype=A.dtype)
         if B.ndim == 1:
             B = B[:, None]
     if symmetry == "nonsymmetric":
-        BH = B if BH is None else jnp.asarray(BH, dtype=A.dtype)
+        BH = B if BH is None else np.asarray(BH, dtype=A.dtype)
         if BH.ndim == 1:
             BH = BH[:, None]
 
@@ -130,8 +131,16 @@ def _extend_hierarchy(levels, strength, aggregate, smooth,
         if flag:
             C = eliminate_diag_dom_nodes(A, C, **dd_kwargs)
 
+    # thread tensor-grid metadata (strength ops drop it) so grid-structured
+    # aggregation and the PhaseStencil transfer fast path can engage
+    fine_grid = A.grid if isinstance(A, ELL) else None
+    if fine_grid is not None and isinstance(C, ELL):
+        import dataclasses
+        C = dataclasses.replace(C, grid=fine_grid)
+
     AggOp, Cnodes = aggregate_dispatch(C, aggregate[lvl_idx],
                                        seed=seed + lvl_idx)
+    coarse_grid = getattr(AggOp, "col_grid", None)
     nagg = AggOp.shape[1]
     nnodes = AggOp.shape[0]
     if nagg == 0 or nagg >= nnodes:
@@ -151,6 +160,16 @@ def _extend_hierarchy(levels, strength, aggregate, smooth,
 
     P = smooth_prolongator(smooth[lvl_idx], A, T, C, Bc)
 
+    # grid-aligned single-candidate coarsening keeps tensor structure:
+    # tag P (fine grid x coarse grid) so compress_stencils can build the
+    # gather-free PhaseStencil transfers, and tag the Galerkin product
+    if (coarse_grid is not None and fine_grid is not None
+            and isinstance(P, ELL) and Bc.shape[1] == 1):
+        import dataclasses
+        P = dataclasses.replace(P, grid=fine_grid, col_grid=coarse_grid)
+    else:
+        coarse_grid = None
+
     if symmetry == "hermitian":
         R = _transpose(P, conjugate=True)
     elif symmetry == "symmetric":
@@ -168,6 +187,9 @@ def _extend_hierarchy(levels, strength, aggregate, smooth,
     levels[-1].R = R
 
     Ac = _galerkin(R, A, P)
+    if coarse_grid is not None and isinstance(Ac, ELL):
+        import dataclasses
+        Ac = dataclasses.replace(Ac, grid=coarse_grid)
     lvl = Level(A=Ac)
     lvl.B = Bc
     lvl.symmetry = symmetry

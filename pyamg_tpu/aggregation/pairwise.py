@@ -8,7 +8,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from pyamg_tpu.sparse.matrix import ELL, BELL, asarray_or_ell
+from pyamg_tpu.sparse.matrix import on_setup_device, ELL, BELL, asarray_or_ell
 from pyamg_tpu.multilevel import MultilevelSolver, Level
 from pyamg_tpu.relaxation.smoothing import change_smoothers, unpack_arg
 from pyamg_tpu.aggregation.aggregate import pairwise_aggregation
@@ -16,6 +16,7 @@ from pyamg_tpu.aggregation.aggregation import _galerkin, _transpose
 from pyamg_tpu.util.utils import levelize
 
 
+@on_setup_device
 def pairwise_solver(A,
                     aggregate=("pairwise", {"theta": 0.25,
                                             "norm": "min",

@@ -11,7 +11,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from pyamg_tpu.sparse.matrix import ELL, BELL, asarray_or_ell
+from pyamg_tpu.sparse.matrix import on_setup_device, ELL, BELL, asarray_or_ell
 from pyamg_tpu.multilevel import MultilevelSolver, Level
 from pyamg_tpu.relaxation.smoothing import change_smoothers, unpack_arg
 from pyamg_tpu.strength import strength_measure
@@ -23,6 +23,7 @@ from pyamg_tpu.aggregation.energy import energy_prolongation_smoother
 from pyamg_tpu.util.utils import levelize, scale_T, get_Cpt_params
 
 
+@on_setup_device
 def rootnode_solver(A, B=None, BH=None, symmetry="hermitian",
                     strength="symmetric", aggregate="standard",
                     smooth="energy",

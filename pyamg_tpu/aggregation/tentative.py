@@ -40,10 +40,65 @@ def _membership(AggOp: ELL):
     return members, labels
 
 
+def _fit_candidates_host(AggOp: ELL, B, tol):
+    """Numpy twin of ``fit_candidates`` (setup runs on host: batched MGS
+    vectorized over aggregates, zero XLA compiles)."""
+    B = np.asarray(B)
+    if B.ndim == 1:
+        B = B[:, None]
+    n, nagg = AggOp.shape
+    K2 = B.shape[1]
+    K1 = B.shape[0] // n
+    assert K1 * n == B.shape[0], "B row count must be a multiple of n"
+    dtype = B.dtype
+
+    members, labels = _membership(AggOp)
+    m_max = members.shape[1]
+    pad = members < 0
+    idx = np.where(pad, 0, members)
+
+    Bn = B.reshape(n, K1, K2)
+    blk = Bn[idx]                                    # (nagg, m_max, K1, K2)
+    blk[pad] = 0
+    work = blk.reshape(nagg, m_max * K1, K2).astype(dtype, copy=True)
+
+    Q = np.zeros_like(work)
+    R = np.zeros((nagg, K2, K2), dtype)
+    for j in range(K2):
+        col = work[:, :, j].copy()
+        pre = np.sqrt(np.real(np.sum(np.conj(col) * col, axis=1)))
+        for i in range(j):
+            rij = np.sum(np.conj(Q[:, :, i]) * col, axis=1)
+            col -= rij[:, None] * Q[:, :, i]
+            R[:, i, j] = rij.astype(dtype)
+        nrm = np.sqrt(np.real(np.sum(np.conj(col) * col, axis=1)))
+        keep = nrm > tol * pre
+        safe = np.where(nrm == 0, 1, nrm)
+        Q[:, :, j] = np.where(keep[:, None], col / safe[:, None], 0)
+        R[:, j, j] = np.where(keep, nrm, 0).astype(dtype)
+
+    Qb = Q.reshape(nagg, m_max, K1, K2)
+    Tblocks = np.zeros((n, K1, K2), dtype)
+    Tblocks[idx[~pad]] = Qb[~pad]
+    lab = np.where(labels >= 0, labels, 0).astype(np.int32)
+    has = labels >= 0
+    cols = lab[:, None]
+    row_nnz = has.astype(np.int32)
+    Bc = R.reshape(nagg * K2, K2)
+    if K1 == 1 and K2 == 1:
+        vals = np.where(has, Tblocks[:, 0, 0], 0)[:, None]
+        return ELL(cols, vals, row_nnz, (n, nagg)), Bc
+    vals = np.where(has[:, None, None], Tblocks, 0)[:, None, :, :]
+    return BELL(cols, vals, row_nnz, (n * K1, nagg * K2), (K1, K2)), Bc
+
+
 def fit_candidates(AggOp: ELL, B, tol=1e-10):
     """Return (T, Bc): tentative prolongator (BELL of (K1,K2) node blocks;
     ELL when K1=K2=1) and coarse candidates Bc = R of shape
     (nagg*K2, K2)."""
+    from pyamg_tpu.sparse.matrix import is_concrete
+    if is_concrete(AggOp.vals, B):
+        return _fit_candidates_host(AggOp, B, tol)
     B = jnp.asarray(B)
     if B.ndim == 1:
         B = B[:, None]

@@ -8,7 +8,7 @@ import warnings
 import numpy as np
 import jax.numpy as jnp
 
-from pyamg_tpu.sparse.matrix import ELL, BELL, asarray_or_ell
+from pyamg_tpu.sparse.matrix import on_setup_device, ELL, BELL, asarray_or_ell
 
 
 def make_operator(A):
@@ -16,6 +16,7 @@ def make_operator(A):
     return asarray_or_ell(A)
 
 
+@on_setup_device
 def solver_configuration(A, B=None, verb=True):
     """Generate a dictionary of SA parameters for an arbitrary A
     (reference ``blackbox.py:52``)."""
@@ -74,6 +75,7 @@ def solver_configuration(A, B=None, verb=True):
     return config
 
 
+@on_setup_device
 def solver(A, config):
     """Build the SA solver from a config dict (reference
     ``blackbox.py:154``)."""

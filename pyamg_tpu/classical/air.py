@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from pyamg_tpu.sparse.matrix import ELL, asarray_or_ell
+from pyamg_tpu.sparse.matrix import on_setup_device, ELL, asarray_or_ell
 from pyamg_tpu.multilevel import MultilevelSolver, Level
 from pyamg_tpu.relaxation.smoothing import change_smoothers, unpack_arg
 from pyamg_tpu.strength import strength_measure
@@ -21,6 +21,7 @@ from pyamg_tpu.classical.interpolate import (
 from pyamg_tpu.ops import spgemm
 
 
+@on_setup_device
 def air_solver(A,
                strength=("classical", {"theta": 0.3, "norm": "min"}),
                CF=("RS", {"second_pass": True}),

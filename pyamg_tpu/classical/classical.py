@@ -8,7 +8,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from pyamg_tpu.sparse.matrix import ELL, asarray_or_ell
+from pyamg_tpu.sparse.matrix import on_setup_device, ELL, asarray_or_ell
 from pyamg_tpu.multilevel import MultilevelSolver, Level
 from pyamg_tpu.relaxation.smoothing import change_smoothers, unpack_arg
 from pyamg_tpu.strength import strength_measure
@@ -19,6 +19,7 @@ from pyamg_tpu.classical.interpolate import (
 from pyamg_tpu.ops import spgemm, transpose
 
 
+@on_setup_device
 def ruge_stuben_solver(A,
                        strength=("classical", {"theta": 0.25}),
                        CF=("RS", {"second_pass": False}),

@@ -18,26 +18,27 @@ from pyamg_tpu.relaxation.relaxation import gauss_seidel, gauss_seidel_indexed
 def _cr_sweep(A: ELL, B, Findex, Cindex, nu, thetacr, method):
     """Habituated/concurrent CR sweeps (reference ``cr.py:12-78``)."""
     n = A.shape[0]
-    z = jnp.zeros((n,), A.dtype)
-    e = jnp.asarray(B[:, 0], A.dtype)
-    if len(Cindex):
-        e = e.at[jnp.asarray(Cindex)].set(0.0)
-    enorm = float(jnp.linalg.norm(e))
+    z = np.zeros((n,), A.dtype)
+    e = np.asarray(B[:, 0], A.dtype).copy()
+    Cidx = np.asarray(Cindex, np.int64) if len(Cindex) else None
+    if Cidx is not None:
+        e[Cidx] = 0.0
+    enorm = float(np.linalg.norm(e))
     rhok = 1.0
     it = 0
     while True:
         if method == "habituated":
-            e = gauss_seidel(A, e, z, iterations=1)
-            if len(Cindex):
-                e = e.at[jnp.asarray(Cindex)].set(0.0)
+            e = np.asarray(gauss_seidel(A, e, z, iterations=1))
+            if Cidx is not None:
+                e[Cidx] = 0.0
         elif method == "concurrent":
-            e = gauss_seidel_indexed(A, e, z, indices=jnp.asarray(Findex),
-                                     iterations=1)
+            e = np.asarray(gauss_seidel_indexed(
+                A, e, z, indices=np.asarray(Findex), iterations=1))
         else:
             raise NotImplementedError(
                 "method not recognized: need habituated or concurrent")
         enorm_old = enorm
-        enorm = float(jnp.linalg.norm(e))
+        enorm = float(np.linalg.norm(e))
         rhok_old = rhok
         rhok = enorm / max(enorm_old, 1e-300)
         it += 1

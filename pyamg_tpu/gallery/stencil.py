@@ -66,8 +66,7 @@ def stencil_grid(S, grid, dtype=None, format=None):
     vals = np.where(vmask, vals, 0)
     row_nnz = valid.sum(axis=1).astype(np.int32)
 
-    A = ELL(jnp.asarray(cols), jnp.asarray(vals), jnp.asarray(row_nnz),
-            (n, n))
+    A = ELL(cols, vals, row_nnz, (n, n), grid=grid)
     if format is None:
         return A
     from pyamg_tpu.sparse.matrix import to_scipy

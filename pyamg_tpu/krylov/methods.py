@@ -29,70 +29,78 @@ def _rtol_const(criteria, tol, normb, normMb, fro, x0norm):
     raise ValueError(f"invalid stopping criteria {criteria!r}")
 
 
+def cg_loop(mv, Mv, x, b, tol, criteria, maxiter, fro=1.0):
+    """Traceable preconditioned-CG loop: (x, info, resbuf, nres).
+
+    Factored out so callers (``MultilevelSolver.solve``) can jit ONE
+    cached program with the operator pytrees as *arguments* — re-jitting
+    per call (and baking the hierarchy in as constants) costs seconds.
+    """
+    normb = norm(b)
+    normb = jnp.where(normb == 0, 1.0, normb)
+    normMb = norm(Mv(b)) if criteria == "MrMr" else jnp.asarray(1.0)
+    r = b - mv(x)
+    z = Mv(r)
+    p = z
+    rz = jnp.real(dot(r, z))
+    normr0 = norm(r) if criteria != "MrMr" else norm(z)
+    rtol = _rtol_const(criteria, tol, normb, normMb, fro, norm(x))
+    resbuf = jnp.zeros((maxiter + 1,), jnp.float64).at[0].set(
+        norm(r).astype(jnp.float64))
+
+    def cond(st):
+        x, r, z, p, rz, it, resbuf, done, info = st
+        return (~done) & (it < maxiter)
+
+    def body(st):
+        x, r, z, p, rz, it, resbuf, done, info = st
+        Ap = mv(p)
+        pAp = jnp.real(dot(Ap, p))
+        bad_A = pAp <= 0.0
+        alpha = rz / jnp.where(pAp == 0, 1, pAp)
+        xn = x + alpha * p
+        # periodic true-residual recompute (reference recompute_r=8)
+        rn = lax.cond((it + 1) % 8 == 0,
+                      lambda _: b - mv(xn),
+                      lambda _: r - alpha * Ap, operand=None)
+        zn = Mv(rn)
+        rzn = jnp.real(dot(rn, zn))
+        bad_M = rzn < 0.0
+        beta = rzn / jnp.where(rz == 0, 1, rz)
+        pn = zn + beta * p
+        itn = it + 1
+        if criteria == "MrMr":
+            normr = norm(zn)
+        elif criteria == "rMr":
+            normr = jnp.sqrt(jnp.maximum(rzn, 0.0))
+        else:
+            normr = norm(rn)
+        resbuf = resbuf.at[itn].set(norm(rn).astype(jnp.float64))
+        conv = normr < rtol
+        done = conv | bad_A | bad_M
+        info = jnp.where(bad_A | bad_M, -1,
+                         jnp.where(conv, 0, info))
+        return (jnp.where(bad_A, x, xn), rn, zn, pn, rzn, itn,
+                resbuf, done, info)
+
+    init = (x, r, z, p, rz, jnp.int32(0), resbuf, normr0 < rtol,
+            jnp.int32(0))
+    x, r, z, p, rz, it, resbuf, done, info = lax.while_loop(
+        cond, body, init)
+    info = jnp.where((info == 0) & (it >= maxiter) & ~done, it, info)
+    return x, info, resbuf, it + 1
+
+
 def cg(A, b, x0=None, tol=1e-5, criteria="rr", maxiter=None, M=None,
        callback=None, residuals=None):
     """Preconditioned conjugate gradient (reference ``krylov/_cg.py:11``)."""
     mv, n, dtype, fro, b, x, maxiter = prepare(A, b, x0, maxiter)
     Mv = as_precond(M)
 
-    normb = norm(b)
-    normb = jnp.where(normb == 0, 1.0, normb)
-    normMb = norm(Mv(b)) if criteria == "MrMr" else jnp.asarray(1.0)
-
-    def run(x):
-        r = b - mv(x)
-        z = Mv(r)
-        p = z
-        rz = jnp.real(dot(r, z))
-        normr0 = norm(r) if criteria != "MrMr" else norm(z)
-        rtol = _rtol_const(criteria, tol, normb, normMb, fro, norm(x))
-        resbuf = jnp.zeros((maxiter + 1,), jnp.float64).at[0].set(
-            norm(r).astype(jnp.float64))
-
-        def cond(st):
-            x, r, z, p, rz, it, resbuf, done, info = st
-            return (~done) & (it < maxiter)
-
-        def body(st):
-            x, r, z, p, rz, it, resbuf, done, info = st
-            Ap = mv(p)
-            pAp = jnp.real(dot(Ap, p))
-            bad_A = pAp <= 0.0
-            alpha = rz / jnp.where(pAp == 0, 1, pAp)
-            xn = x + alpha * p
-            # periodic true-residual recompute (reference recompute_r=8)
-            rn = lax.cond((it + 1) % 8 == 0,
-                          lambda _: b - mv(xn),
-                          lambda _: r - alpha * Ap, operand=None)
-            zn = Mv(rn)
-            rzn = jnp.real(dot(rn, zn))
-            bad_M = rzn < 0.0
-            beta = rzn / jnp.where(rz == 0, 1, rz)
-            pn = zn + beta * p
-            itn = it + 1
-            if criteria == "MrMr":
-                normr = norm(zn)
-            elif criteria == "rMr":
-                normr = jnp.sqrt(jnp.maximum(rzn, 0.0))
-            else:
-                normr = norm(rn)
-            resbuf = resbuf.at[itn].set(norm(rn).astype(jnp.float64))
-            conv = normr < rtol
-            done = conv | bad_A | bad_M
-            info = jnp.where(bad_A | bad_M, -1,
-                             jnp.where(conv, 0, info))
-            return (jnp.where(bad_A, x, xn), rn, zn, pn, rzn, itn,
-                    resbuf, done, info)
-
-        init = (x, r, z, p, rz, jnp.int32(0), resbuf, normr0 < rtol,
-                jnp.int32(0))
-        x, r, z, p, rz, it, resbuf, done, info = lax.while_loop(
-            cond, body, init)
-        info = jnp.where((info == 0) & (it >= maxiter) & ~done, it, info)
-        return x, info, resbuf, it + 1
-
     if callback is None:
-        xf, info, resbuf, nres = jax.jit(run)(x)
+        xf, info, resbuf, nres = jax.jit(
+            lambda x, b: cg_loop(mv, Mv, x, b, tol, criteria, maxiter,
+                                 fro))(x, b)
         finalize(residuals, resbuf, nres)
         return xf, int(info)
     # host loop variant (callback support)

@@ -66,15 +66,17 @@ class CoarseSolver:
             self.params = {}
             return
         if kind in ("pinv", "pinv2"):
-            Ad = jnp.asarray(to_scipy(A).toarray())
-            self.params = {"op": jnp.linalg.pinv(Ad)}
+            Ad = to_scipy(A).toarray()      # host factorization (setup)
+            self.params = {"op": np.linalg.pinv(Ad)}
         elif kind in ("lu", "splu"):
-            Ad = jnp.asarray(to_scipy(A).toarray())
-            lu, piv = jax.scipy.linalg.lu_factor(Ad)
-            self.params = {"lu": lu, "piv": piv}
+            import scipy.linalg
+            Ad = to_scipy(A).toarray()
+            lu, piv = scipy.linalg.lu_factor(Ad)
+            self.params = {"lu": lu, "piv": piv.astype(np.int32)}
         elif kind == "cholesky":
-            Ad = jnp.asarray(to_scipy(A).toarray())
-            c, lower = jax.scipy.linalg.cho_factor(Ad)
+            import scipy.linalg
+            Ad = to_scipy(A).toarray()
+            c, lower = scipy.linalg.cho_factor(Ad)
             self._cho_lower = bool(lower)   # static: must not be traced
             self.params = {"c": c}
         elif kind in ("jacobi", "gauss_seidel", "block_jacobi",
@@ -263,6 +265,67 @@ class MultilevelSolver:
 
         return cyc_fn
 
+    def _get_accel_run(self, cycle, tol, maxiter, criteria="rr"):
+        """Jitted CG-accelerated solve (dyn, x, b) -> (x, info, resbuf, n),
+        cached on the hierarchy's static structure."""
+        key = ("accel_cg", str(cycle).upper(), float(tol), int(maxiter),
+               criteria, self._static_key(),
+               self.coarse_solver.kind if not callable(self.coarse_solver.kind)
+               else id(self.coarse_solver.kind))
+        if key not in self._cycle_cache:
+            from pyamg_tpu.krylov.methods import cg_loop
+            cyc = self._make_cycle(cycle)
+            nlev = len(self.levels)
+
+            def run(dyn, x, b):
+                A0 = dyn[0][0][0] if nlev > 1 else dyn[1]
+                mv = lambda v: matvec(A0, v)
+                Mv = lambda r: cyc(dyn, jnp.zeros_like(r), r)
+                return cg_loop(mv, Mv, x, b, tol, criteria, maxiter)
+
+            self._cycle_cache[key] = jax.jit(run)
+        return self._cycle_cache[key]
+
+    def _get_standalone_run(self, cycle, cycles_per_level, tol, maxiter):
+        """Jitted standalone cycling (dyn, x, b) -> (x, it, resbuf),
+        cached on the hierarchy's static structure."""
+        key = ("standalone", str(cycle).upper(), cycles_per_level,
+               float(tol), int(maxiter), self._static_key(),
+               self.coarse_solver.kind if not callable(self.coarse_solver.kind)
+               else id(self.coarse_solver.kind))
+        if key not in self._cycle_cache:
+            cyc = self._make_cycle(cycle, cycles_per_level)
+            nlev = len(self.levels)
+
+            def run(dyn, x, b):
+                A0 = dyn[0][0][0] if nlev > 1 else dyn[1]
+                normb = jnp.sqrt(jnp.real(jnp.vdot(b, b)))
+                rtol = tol * jnp.where(normb == 0, 1.0, normb)
+                r0 = b - matvec(A0, x)
+                nr0 = jnp.sqrt(jnp.real(jnp.vdot(r0, r0)))
+                resbuf = jnp.zeros((maxiter + 1,), jnp.float64)
+                resbuf = resbuf.at[0].set(nr0.astype(jnp.float64))
+
+                def cond(st):
+                    x, it, resbuf, done = st
+                    return (~done) & (it < maxiter)
+
+                def body(st):
+                    x, it, resbuf, done = st
+                    x = cyc(dyn, x, b)
+                    r = b - matvec(A0, x)
+                    nr = jnp.sqrt(jnp.real(jnp.vdot(r, r)))
+                    it = it + 1
+                    resbuf = resbuf.at[it].set(nr.astype(jnp.float64))
+                    return x, it, resbuf, nr < rtol
+
+                x, it, resbuf, done = lax.while_loop(
+                    cond, body, (x, jnp.int32(0), resbuf, nr0 < rtol))
+                return x, it, resbuf
+
+            self._cycle_cache[key] = jax.jit(run)
+        return self._cycle_cache[key]
+
     def _get_cycle(self, cycle, cycles_per_level=1):
         key = (str(cycle).upper(), cycles_per_level, self._static_key(),
                self.coarse_solver.kind if not callable(self.coarse_solver.kind)
@@ -297,17 +360,43 @@ class MultilevelSolver:
         return self.aspreconditioner().matvec(jnp.asarray(b))
 
     def compress_stencils(self, max_diags=64):
-        """Convert each level's square ELL operator to the banded DIA
-        layout when its offset structure is narrow (true for stencil
-        problems and their Galerkin coarsenings).  DIA SpMV is gather-free
-        — the TPU fast path.  P/R stay in ELL (rectangular)."""
-        from pyamg_tpu.sparse.matrix import dia_from_ell
+        """Convert structured operators to their gather-free layouts:
+
+        * square ELL levels with narrow offset structure -> ``DIA``
+          (banded; SpMV = shifted elementwise products), and
+        * grid-tagged transfer operators P/R -> ``PhaseStencil``
+          (per-phase shifted products on the coarse grid).
+
+        Together these remove every gather from the V-cycle on stencil
+        hierarchies — the TPU fast path.  Originals are kept as
+        ``A_ell``/``P_ell``/``R_ell`` for fallback.
+        """
+        from pyamg_tpu.sparse.matrix import (dia_from_ell,
+                                             phase_stencil_from_ell)
+        from pyamg_tpu.ops.transpose import transpose
+        import dataclasses
         for lvl in self.levels:
             if isinstance(lvl.A, ELL):
                 D = dia_from_ell(lvl.A, max_diags=max_diags)
                 if D is not None:
                     lvl.A_ell = lvl.A
                     lvl.A = D
+            P = getattr(lvl, "P", None)
+            if (isinstance(P, ELL) and P.grid is not None
+                    and P.col_grid is not None):
+                ps = phase_stencil_from_ell(P, P.grid, P.col_grid)
+                if ps is not None:
+                    lvl.P_ell = lvl.P
+                    lvl.P = ps
+                    R = getattr(lvl, "R", None)
+                    if isinstance(R, ELL):
+                        # R's transpose is fine x coarse = P-oriented;
+                        # build once, apply via the adjoint (trans=True)
+                        rps = phase_stencil_from_ell(
+                            transpose(R), P.grid, P.col_grid)
+                        if rps is not None:
+                            lvl.R_ell = lvl.R
+                            lvl.R = dataclasses.replace(rps, trans=True)
         self._cycle_cache.clear()
         return self
 
@@ -355,6 +444,52 @@ class MultilevelSolver:
                 pass
         self._cycle_cache.clear()
 
+    def solve_refined(self, b, A_fine=None, tol=1e-10, inner_tol=1e-5,
+                      inner_maxiter=30, max_outer=10, cycle="V",
+                      accel="cg", residuals=None):
+        """Mixed-precision solve to f64 accuracy: f64 defect correction
+        wrapped around the (typically f32) device hierarchy.
+
+        TPU f32 CG stalls at ~eps32*sqrt(cond(A)) relative residual; the
+        classic fix is iterative refinement: the outer residual
+        ``r = b - A x`` is computed in f64 (host scipy — one SpMV per
+        outer step), the error equation ``A e = r`` is solved on device in
+        f32 to ``inner_tol``, and ``x += e`` accumulates in f64.  Reaches
+        the reference's 1e-10 targets with all heavy compute in f32.
+
+        ``A_fine``: the fine operator in f64 (scipy sparse, or ELL; defaults
+        to the hierarchy's stored fine matrix converted to f64 on host).
+        """
+        import scipy.sparse as sp
+        if A_fine is None:
+            A_fine = getattr(self.levels[0], "A_ell", self.levels[0].A)
+        if not sp.issparse(A_fine):
+            A_fine = to_scipy(A_fine)
+        As = A_fine.astype(np.float64)
+        b64 = np.asarray(b, np.float64).reshape(-1)
+        n = b64.shape[0]
+        x = np.zeros(n, np.float64)
+        normb = np.linalg.norm(b64) or 1.0
+        hist = []
+        dtype32 = self.levels[0].A.dtype
+        for _ in range(max_outer):
+            r = b64 - As @ x
+            nr = np.linalg.norm(r)
+            hist.append(float(nr))
+            if nr <= tol * normb:
+                break
+            scale = nr
+            e = self.solve(jnp.asarray(r / scale, dtype32),
+                           tol=inner_tol, maxiter=inner_maxiter,
+                           cycle=cycle, accel=accel)
+            x = x + scale * np.asarray(e, np.float64)[:n]
+        else:
+            r = b64 - As @ x
+            hist.append(float(np.linalg.norm(r)))
+        if residuals is not None:
+            residuals[:] = hist
+        return x
+
     def solve(self, b, x0=None, tol=1e-5, maxiter=100, cycle="V",
               accel=None, callback=None, residuals=None, return_info=False,
               cycles_per_level=1):
@@ -383,6 +518,18 @@ class MultilevelSolver:
                         "Incompatible non-symmetric multigrid preconditioner "
                         "detected, due to presmoother/postsmoother combination. "
                         "CG requires SPD preconditioner, not just SPD matrix.")
+                if accel == "cg" and callback is None:
+                    # cached one-jit path: hierarchy rides as arguments, so
+                    # repeat solves skip retracing (the generic path builds
+                    # a fresh jit per call and bakes dyn in as constants)
+                    run = self._get_accel_run(cycle, tol, maxiter)
+                    from pyamg_tpu.krylov.common import finalize
+                    xf, info, resbuf, nres = run(self._dyn(), x, b)
+                    finalize(residuals, resbuf, nres)
+                    xf = xf[:fine_n]
+                    if return_info:
+                        return xf, int(info)
+                    return xf
                 method = getattr(krylov, accel)
             else:
                 method = accel
@@ -394,36 +541,11 @@ class MultilevelSolver:
                 return x, info
             return x
 
-        cyc = self._get_cycle(cycle, cycles_per_level)
         dyn = self._dyn()
 
         if callback is None:
-            @jax.jit
-            def run(dyn, x, b):
-                normb = jnp.sqrt(jnp.real(jnp.vdot(b, b)))
-                rtol = tol * jnp.where(normb == 0, 1.0, normb)
-                r0 = b - matvec(A0, x)
-                nr0 = jnp.sqrt(jnp.real(jnp.vdot(r0, r0)))
-                resbuf = jnp.zeros((maxiter + 1,), jnp.float64)
-                resbuf = resbuf.at[0].set(nr0.astype(jnp.float64))
-
-                def cond(st):
-                    x, it, resbuf, done = st
-                    return (~done) & (it < maxiter)
-
-                def body(st):
-                    x, it, resbuf, done = st
-                    x = cyc(dyn, x, b)
-                    r = b - matvec(A0, x)
-                    nr = jnp.sqrt(jnp.real(jnp.vdot(r, r)))
-                    it = it + 1
-                    resbuf = resbuf.at[it].set(nr.astype(jnp.float64))
-                    return x, it, resbuf, nr < rtol
-
-                x, it, resbuf, done = lax.while_loop(
-                    cond, body, (x, jnp.int32(0), resbuf, nr0 < rtol))
-                return x, it, resbuf
-
+            run = self._get_standalone_run(cycle, cycles_per_level, tol,
+                                           maxiter)
             x, it, resbuf = run(dyn, x, b)
             x = x[:fine_n]
             if residuals is not None:
@@ -434,14 +556,17 @@ class MultilevelSolver:
             return x
 
         # host loop with callback
-        normb = float(jnp.linalg.norm(b)) or 1.0
+        cyc_j = jax.jit(cyc)
+        res_j = jax.jit(lambda dyn, x, b: jnp.linalg.norm(
+            b - matvec(dyn[0][0][0] if len(self.levels) > 1 else dyn[1], x)))
+        normb = float(jnp.linalg.norm(np.asarray(b))) or 1.0
         if residuals is not None:
-            residuals[:] = [float(jnp.linalg.norm(b - matvec(A0, x)))]
+            residuals[:] = [float(res_j(dyn, x, b))]
         it = 0
         while True:
-            x = cyc(dyn, x, b)
+            x = cyc_j(dyn, x, b)
             it += 1
-            nr = float(jnp.linalg.norm(b - matvec(A0, x)))
+            nr = float(res_j(dyn, x, b))
             if residuals is not None:
                 residuals.append(nr)
             callback(x)

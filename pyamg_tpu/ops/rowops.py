@@ -14,7 +14,39 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pyamg_tpu.sparse.matrix import ELL
+from pyamg_tpu.sparse.matrix import ELL, is_concrete
+
+
+def dedup_rows_host(cols, vals, valid, n_cols: int):
+    """Numpy twin of ``dedup_rows`` — setup phase runs on host where each
+    eager XLA dispatch would pay a fresh ~1s tiny-kernel compile (the
+    dominant setup cost on small-CPU hosts)."""
+    cols = np.asarray(cols)
+    vals = np.asarray(vals)
+    valid = np.asarray(valid)
+    n, W = cols.shape
+    sent = n_cols
+    c = np.where(valid, cols.astype(np.int64), sent)
+    v = np.where(valid, vals, 0)
+    order = np.argsort(c, axis=1, kind="stable")
+    c = np.take_along_axis(c, order, axis=1)
+    v = np.take_along_axis(v, order, axis=1)
+    head = np.concatenate(
+        [np.ones((n, 1), bool), c[:, 1:] != c[:, :-1]], axis=1)
+    head = head & (c < sent)
+    pos = np.maximum(np.cumsum(head, axis=1) - 1, 0)
+    rows = np.arange(n)[:, None]
+    out_vals = np.zeros_like(v)
+    np.add.at(out_vals, (np.broadcast_to(rows, (n, W)), pos), v)
+    out_cols = np.zeros((n, W), np.int64)
+    np.maximum.at(out_cols, (np.broadcast_to(rows, (n, W)), pos),
+                  np.where(head, c, 0))
+    row_nnz = head.sum(axis=1).astype(np.int32)
+    k = np.arange(W)[None, :]
+    tail = k >= row_nnz[:, None]
+    out_vals[tail] = 0
+    out_cols[tail] = 0
+    return out_cols.astype(np.int32), out_vals, row_nnz
 
 
 def dedup_rows(cols: jax.Array, vals: jax.Array, valid: jax.Array,
@@ -57,14 +89,18 @@ def dedup_rows(cols: jax.Array, vals: jax.Array, valid: jax.Array,
 def compact_width(cols, vals, row_nnz, shape, width=None, min_width=1) -> ELL:
     """Shrink padded width to max(row_nnz) (host sync — setup phase only)."""
     if width is None:
-        width = max(int(jnp.max(row_nnz)) if row_nnz.shape[0] else 0, min_width)
+        width = max(int(np.max(np.asarray(row_nnz))) if row_nnz.shape[0]
+                    else 0, min_width)
     width = min(width, cols.shape[1]) if cols.shape[1] > 0 else min_width
     return ELL(cols[:, :width], vals[:, :width], row_nnz,
                (int(shape[0]), int(shape[1])))
 
 
 def ell_dedup(cols, vals, valid, shape, width=None, min_width=1) -> ELL:
-    c, v, rn = dedup_rows(cols, vals, valid, shape[1])
+    if is_concrete(cols, vals, valid):
+        c, v, rn = dedup_rows_host(cols, vals, valid, shape[1])
+    else:
+        c, v, rn = dedup_rows(cols, vals, valid, shape[1])
     return compact_width(c, v, rn, shape, width=width, min_width=min_width)
 
 

@@ -31,7 +31,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from pyamg_tpu.sparse.matrix import ELL, BELL
+import numpy as np
+
+from pyamg_tpu.sparse.matrix import ELL, BELL, is_concrete
 from pyamg_tpu.ops.rowops import dedup_rows, compact_width
 
 
@@ -49,9 +51,20 @@ def _expand(A: ELL, B: ELL):
 
 
 def spgemm(A: ELL, B: ELL, width=None) -> ELL:
-    """C = A @ B. Setup-phase (host width compaction)."""
+    """C = A @ B. Setup-phase (host width compaction).
+
+    Host path: scipy's SMMP SpGEMM (C, zero XLA compiles) — setup runs on
+    the host by design; the traced path keeps the row-expansion form.
+    """
     assert A.shape[1] == B.shape[0], (A.shape, B.shape)
     shape = (A.shape[0], B.shape[1])
+    if is_concrete(A.vals, B.vals):
+        from pyamg_tpu.sparse.matrix import to_scipy, ell_from_csr_arrays
+        C = (to_scipy(A) @ to_scipy(B)).tocsr()
+        C.sum_duplicates()
+        C.sort_indices()
+        return ell_from_csr_arrays(C.indptr, C.indices, C.data, shape,
+                                   width=width)
     cols, vals, valid = _expand(A, B)
     c, v, rn = _dedup_jit(cols, vals, valid, B.shape[1])
     return compact_width(c, v, rn, shape, width=width)
@@ -71,6 +84,24 @@ def masked_spgemm(A: ELL, B: ELL, pattern_cols: jax.Array,
     ``incomplete_mat_mult_bsr`` only accumulates into pre-existing slots).
     Jittable: all shapes static.
     """
+    if is_concrete(A.vals, B.vals, pattern_cols):
+        from pyamg_tpu.sparse.matrix import to_scipy
+        C = (to_scipy(A) @ to_scipy(B)).tocsr()
+        C.sum_duplicates()
+        C.sort_indices()
+        m = C.shape[1]
+        rows = np.repeat(np.arange(C.shape[0]), np.diff(C.indptr))
+        ckey = rows.astype(np.int64) * m + C.indices
+        pc = np.asarray(pattern_cols)
+        pv = np.asarray(pattern_valid)
+        qkey = (np.arange(pc.shape[0], dtype=np.int64)[:, None] * m
+                + pc)
+        idx = np.searchsorted(ckey, qkey)
+        idx = np.minimum(idx, max(len(ckey) - 1, 0))
+        hit = (ckey[idx] == qkey) if len(ckey) else np.zeros(qkey.shape,
+                                                             bool)
+        out = np.where(hit & pv, C.data[idx] if len(ckey) else 0, 0)
+        return out.astype(C.data.dtype)
     cols, vals, valid = _expand(A, B)
     c, v, _ = dedup_rows(cols, vals, valid, B.shape[1])
     # For each pattern slot, find its column among the coalesced candidates.
@@ -95,6 +126,12 @@ def masked_spgemm(A: ELL, B: ELL, pattern_cols: jax.Array,
 def spgemm_bell(A: BELL, B: BELL, width=None) -> BELL:
     """Block SpGEMM: C = A @ B with conforming blocksizes."""
     assert A.blocksize[1] == B.blocksize[0]
+    if is_concrete(A.vals, B.vals):
+        from pyamg_tpu.sparse.matrix import to_scipy, bell_from_scipy
+        C = (to_scipy(A) @ to_scipy(B)).tobsr(
+            (A.blocksize[0], B.blocksize[1]))
+        C.sort_indices()
+        return bell_from_scipy(C, width=width)
     nb = A.n_block_rows
     WA, WB = A.width, B.width
     ac = A.cols

@@ -18,11 +18,29 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from pyamg_tpu.sparse.matrix import ELL, BELL, DIA
+import numpy as np
+
+from pyamg_tpu.sparse.matrix import ELL, BELL, DIA, PhaseStencil, is_concrete
+
+
+def _xp(*arrays):
+    return np if is_concrete(*arrays) else jnp
+
+
+def _scipy_memo(A):
+    """Cached scipy view of a host-backed container (setup phase)."""
+    S = getattr(A, "_scipy_view", None)
+    if S is None:
+        from pyamg_tpu.sparse.matrix import to_scipy
+        S = to_scipy(A)
+        object.__setattr__(A, "_scipy_view", S)
+    return S
 
 
 def spmv(A: ELL, x: jax.Array) -> jax.Array:
     """y = A @ x for ELL A; x of shape (n_cols,) or (n_cols, k)."""
+    if is_concrete(A.vals, x):               # host/setup path (no compiles)
+        return _scipy_memo(A) @ np.asarray(x)
     if x.ndim == 1:
         xg = x[A.cols]                      # (n, W)
         return jnp.sum(A.vals * xg, axis=1)
@@ -36,6 +54,8 @@ def rspmv(A: ELL, x: jax.Array) -> jax.Array:
     Used where the reference does ``P.T @ r``; prefer a pre-built transpose
     (static plan) in the cycle — this exists for one-off setup computations.
     """
+    if is_concrete(A.vals, x):               # host/setup path
+        return _scipy_memo(A).T @ np.asarray(x)
     n_cols = A.shape[1]
     contrib = A.vals * x[:, None]           # (n, W)
     return jnp.zeros((n_cols,), dtype=contrib.dtype).at[A.cols].add(contrib)
@@ -43,6 +63,8 @@ def rspmv(A: ELL, x: jax.Array) -> jax.Array:
 
 def bspmv(A: BELL, x: jax.Array) -> jax.Array:
     """y = A @ x for block-ELL A; x flat of shape (n_cols,) or (n_cols, k)."""
+    if is_concrete(A.vals, x):               # host/setup path
+        return _scipy_memo(A) @ np.asarray(x)
     br, bc = A.blocksize
     nb = A.n_block_rows
     nbc = A.n_block_cols
@@ -87,6 +109,8 @@ def matvec(A, x):
         return bspmv(A, x)
     if isinstance(A, DIA):
         return dia_spmv(A, x)
+    if isinstance(A, PhaseStencil):
+        return A.mv(x)
     return spmv(A, x)
 
 
@@ -101,23 +125,26 @@ def extract_diagonal(A) -> jax.Array:
         br, bc = A.blocksize
         assert br == bc
         nb = A.n_block_rows
-        rows = jnp.arange(nb, dtype=jnp.int32)
+        xp = _xp(A.vals)
+        rows = xp.arange(nb, dtype=xp.int32)
         hit = (A.cols == rows[:, None]) & A.valid_mask()
-        dblk = jnp.einsum("nw,nwij->nij", hit.astype(A.vals.dtype), A.vals)
-        idx = jnp.arange(br)
+        dblk = xp.einsum("nw,nwij->nij", hit.astype(A.vals.dtype), A.vals)
+        idx = xp.arange(br)
         return dblk[:, idx, idx].reshape(nb * br)
     n = A.shape[0]
-    rows = jnp.arange(n, dtype=jnp.int32)
+    xp = _xp(A.vals)
+    rows = xp.arange(n, dtype=xp.int32)
     hit = (A.cols == rows[:, None]) & A.valid_mask()
-    return jnp.sum(jnp.where(hit, A.vals, 0), axis=1)
+    return xp.sum(xp.where(hit, A.vals, 0), axis=1)
 
 
 def extract_block_diagonal(A: BELL) -> jax.Array:
     """(nb, br, bc) array of diagonal blocks."""
     nb = A.n_block_rows
-    rows = jnp.arange(nb, dtype=jnp.int32)
+    xp = _xp(A.vals)
+    rows = xp.arange(nb, dtype=xp.int32)
     hit = (A.cols == rows[:, None]) & A.valid_mask()
-    return jnp.einsum("nw,nwij->nij", hit.astype(A.vals.dtype), A.vals)
+    return xp.einsum("nw,nwij->nij", hit.astype(A.vals.dtype), A.vals)
 
 
 def row_max_abs_offdiag(A: ELL) -> jax.Array:
@@ -127,6 +154,7 @@ def row_max_abs_offdiag(A: ELL) -> jax.Array:
     (reference ``ruge_stuben.h:230`` ``maximum_row_value``).
     """
     n = A.shape[0]
-    rows = jnp.arange(n, dtype=jnp.int32)
+    xp = _xp(A.vals)
+    rows = xp.arange(n, dtype=xp.int32)
     offd = (A.cols != rows[:, None]) & A.valid_mask()
-    return jnp.max(jnp.where(offd, jnp.abs(A.vals), 0), axis=1)
+    return xp.max(xp.where(offd, xp.abs(A.vals), 0), axis=1)

@@ -18,14 +18,15 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from pyamg_tpu.sparse.matrix import ELL, BELL
+from pyamg_tpu.sparse.matrix import ELL, BELL, is_concrete
 from pyamg_tpu.ops.spmv import (
     matvec, extract_diagonal, extract_block_diagonal)
 
 
 def _dinv_vec(A):
     d = extract_diagonal(A)
-    return jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1, d), 0.0)
+    xp = np if is_concrete(d) else jnp
+    return xp.where(d != 0, 1.0 / xp.where(d == 0, 1, d), 0.0)
 
 
 def _bcast(v, x):
@@ -39,8 +40,17 @@ def _bcast(v, x):
 
 def jacobi(A, x, b, iterations=1, omega=1.0, Dinv=None):
     """Damped Jacobi: x <- x + omega * D^-1 (b - A x)
-    (reference ``relaxation.py:349`` / ``relaxation.h:310``)."""
+    (reference ``relaxation.py:349`` / ``relaxation.h:310``).
+
+    Host (setup/eager) inputs run the numpy twin — zero XLA compiles."""
     Dinv = _dinv_vec(A) if Dinv is None else Dinv
+    if is_concrete(x, b, Dinv) and isinstance(A, (ELL, BELL)):
+        x = np.asarray(x)
+        b = np.asarray(b)
+        Dv = _bcast(np.asarray(Dinv), x)
+        for _ in range(iterations):
+            x = x + omega * Dv * (b - matvec(A, x))
+        return x
     Dinv = _bcast(Dinv, x)
     for _ in range(iterations):
         x = x + omega * Dinv * (b - matvec(A, x))
@@ -53,16 +63,23 @@ def jacobi_indexed(A, x, b, indices, iterations=1, omega=1.0, Dinv=None):
     ``indices`` may be an int index array or a boolean mask of length n.
     """
     n = A.shape[0]
+    host = is_concrete(x, b, indices) and isinstance(A, (ELL, BELL))
+    xp = np if host else jnp
     if indices.dtype == bool:
-        mask = indices
+        mask = np.asarray(indices) if host else indices
+    elif host:
+        mask = np.zeros((n,), bool)
+        mask[np.asarray(indices)] = True
     else:
         mask = jnp.zeros((n,), bool).at[indices].set(True)
     Dinv = _dinv_vec(A) if Dinv is None else Dinv
+    if host:
+        x, b, Dinv = np.asarray(x), np.asarray(b), np.asarray(Dinv)
     Dinv = _bcast(Dinv, x)
     maskb = _bcast(mask, x)
     for _ in range(iterations):
         xn = x + omega * Dinv * (b - matvec(A, x))
-        x = jnp.where(maskb, xn, x)
+        x = xp.where(maskb, xn, x)
     return x
 
 
@@ -117,6 +134,13 @@ def gauss_seidel(A, x, b, iterations=1, sweep="forward", colors=None,
     if colors is None:
         colors, ncolors = make_coloring(A)
     Dinv = _dinv_vec(A) if Dinv is None else Dinv
+    host = is_concrete(x, b, Dinv, colors) and isinstance(A, (ELL, BELL))
+    if host:
+        x = np.asarray(x)
+        b = np.asarray(b)
+        Dinv = np.asarray(Dinv)
+        colors = np.asarray(colors)
+    xp = np if host else jnp
     Dinvb = _bcast(Dinv, x)
 
     def one_pass(x, order):
@@ -124,7 +148,7 @@ def gauss_seidel(A, x, b, iterations=1, sweep="forward", colors=None,
             r = b - matvec(A, x)
             upd = x + omega * Dinvb * r
             m = _bcast(colors == c, x)
-            x = jnp.where(m, upd, x)
+            x = xp.where(m, upd, x)
         return x
 
     fwd = list(range(ncolors))
@@ -219,15 +243,19 @@ def block_jacobi(A, x, b, Dinv=None, iterations=1, omega=1.0):
     nb = A.n_block_rows
     if Dinv is None:
         Dinv = pinv_array(extract_block_diagonal(A))
+    host = is_concrete(x, b, Dinv)
+    xp = np if host else jnp
+    if host:
+        x, b, Dinv = np.asarray(x), np.asarray(b), np.asarray(Dinv)
     multi = x.ndim == 2
     for _ in range(iterations):
         r = (b - matvec(A, x))
         if multi:
             rb = r.reshape(nb, br, -1)
-            dx = jnp.einsum("nij,njk->nik", Dinv, rb).reshape(x.shape)
+            dx = xp.einsum("nij,njk->nik", Dinv, rb).reshape(x.shape)
         else:
             rb = r.reshape(nb, br)
-            dx = jnp.einsum("nij,nj->ni", Dinv, rb).reshape(-1)
+            dx = xp.einsum("nij,nj->ni", Dinv, rb).reshape(-1)
         x = x + omega * dx
     return x
 
@@ -248,19 +276,24 @@ def block_gauss_seidel(A, x, b, iterations=1, sweep="forward", Dinv=None,
                    (nb, nb))
         cnp = vertex_coloring(patt)
         colors, ncolors = jnp.asarray(cnp), int(cnp.max()) + 1
+    host = is_concrete(x, b, Dinv, colors)
+    xp = np if host else jnp
+    if host:
+        x, b = np.asarray(x), np.asarray(b)
+        Dinv, colors = np.asarray(Dinv), np.asarray(colors)
     multi = x.ndim == 2
 
     def color_update(x, c):
         r = b - matvec(A, x)
         if multi:
             rb = r.reshape(nb, br, -1)
-            dx = jnp.einsum("nij,njk->nik", Dinv, rb)
+            dx = xp.einsum("nij,njk->nik", Dinv, rb)
             m = (colors == c)[:, None, None]
-            dx = jnp.where(m, dx, 0).reshape(x.shape)
+            dx = xp.where(m, dx, 0).reshape(x.shape)
         else:
             rb = r.reshape(nb, br)
-            dx = jnp.einsum("nij,nj->ni", Dinv, rb)
-            dx = jnp.where((colors == c)[:, None], dx, 0).reshape(-1)
+            dx = xp.einsum("nij,nj->ni", Dinv, rb)
+            dx = xp.where((colors == c)[:, None], dx, 0).reshape(-1)
         return x + omega * dx
 
     order = list(range(ncolors))

@@ -16,7 +16,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from pyamg_tpu.sparse.matrix import ELL, BELL
+from pyamg_tpu.sparse.matrix import ELL, BELL, is_concrete
 from pyamg_tpu.relaxation import relaxation as rx
 from pyamg_tpu.ops.spmv import extract_diagonal, extract_block_diagonal
 
@@ -42,7 +42,8 @@ def rho_D_inv_A(A, seed=0):
 
 def _dinv(A):
     d = extract_diagonal(A)
-    return jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1, d), 0.0)
+    xp = np if is_concrete(d) else jnp
+    return xp.where(d != 0, 1.0 / xp.where(d == 0, 1, d), 0.0)
 
 
 # ---------------------------------------------------------------------------
@@ -78,7 +79,7 @@ def _coloring_params(A):
 def _scalar_pattern(A):
     """ELL adjacency for coloring (block matrices use the block graph)."""
     if isinstance(A, BELL):
-        return ELL(A.cols, jnp.ones(A.cols.shape, jnp.float32), A.row_nnz,
+        return ELL(A.cols, np.ones(A.cols.shape, np.float32), A.row_nnz,
                    (A.n_block_rows, A.n_block_cols))
     return A
 

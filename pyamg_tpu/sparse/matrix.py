@@ -39,19 +39,71 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def is_concrete(*arrays) -> bool:
+    """True when no argument is a JAX tracer (i.e. host/setup context).
+
+    Setup-phase ops use this to run numpy twins: on small-CPU hosts every
+    distinct eager XLA dispatch pays a ~1s tiny-kernel compile, so the
+    latency-bound setup graph algorithms must stay in numpy; only the
+    jitted solve phase touches XLA.
+    """
+    from jax.core import Tracer
+    return not any(isinstance(a, Tracer) for a in arrays)
+
+
+def _np_backed(*arrays) -> bool:
+    return all(isinstance(a, np.ndarray) for a in arrays)
+
+
+def setup_device():
+    """Context manager pinning jitted *setup* helpers (graph coloring/MIS
+    rounds) to the host CPU backend.
+
+    The setup phase is latency-bound host work; running its small jitted
+    fixed-point rounds on an accelerator behind a tunnel costs ~10ms per
+    dispatch.  Solve-phase code never runs under this context.
+    """
+    import contextlib
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except Exception:
+        return contextlib.nullcontext()
+    return jax.default_device(cpu)
+
+
+def on_setup_device(fn):
+    """Decorator: run a setup-phase factory under ``setup_device()``."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with setup_device():
+            return fn(*args, **kwargs)
+    return wrapper
+
+
 def _ell_fields():
-    return dict(data_fields=("cols", "vals", "row_nnz"), meta_fields=("shape",))
+    return dict(data_fields=("cols", "vals", "row_nnz"),
+                meta_fields=("shape", "grid", "col_grid"))
 
 
 @partial(jax.tree_util.register_dataclass, **_ell_fields())
 @dataclasses.dataclass(frozen=True)
 class ELL:
-    """Padded-row sparse matrix (device-native CSR analogue)."""
+    """Padded-row sparse matrix (device-native CSR analogue).
+
+    ``grid`` / ``col_grid`` are optional tensor-grid shapes for the row /
+    column index spaces (C-order).  When set (gallery stencil operators and
+    grid-structured transfer operators propagate them) they unlock the
+    gather-free structured fast paths (``DIA``, ``PhaseStencil``).
+    """
 
     cols: jax.Array      # (n, W) int32
     vals: jax.Array      # (n, W)
     row_nnz: jax.Array   # (n,) int32
     shape: Tuple[int, int]
+    grid: Tuple[int, ...] = None
+    col_grid: Tuple[int, ...] = None
 
     # ---- static properties -------------------------------------------------
     @property
@@ -73,7 +125,7 @@ class ELL:
     @property
     def nnz(self) -> int:
         """Number of stored entries (includes explicit zeros)."""
-        return int(jnp.sum(self.row_nnz))
+        return int(np.sum(np.asarray(self.row_nnz)))
 
     @property
     def blocksize(self) -> Tuple[int, int]:
@@ -81,6 +133,8 @@ class ELL:
 
     def valid_mask(self) -> jax.Array:
         """(n, W) bool: True for stored entries, False for padding."""
+        if isinstance(self.row_nnz, np.ndarray):     # host/setup path
+            return np.arange(self.width)[None, :] < self.row_nnz[:, None]
         k = jnp.arange(self.width, dtype=jnp.int32)[None, :]
         return k < self.row_nnz[:, None]
 
@@ -108,7 +162,7 @@ class ELL:
         return extract_diagonal(self)
 
     def astype(self, dtype):
-        return ELL(self.cols, self.vals.astype(dtype), self.row_nnz, self.shape)
+        return dataclasses.replace(self, vals=self.vals.astype(dtype))
 
     def __repr__(self):
         return (f"ELL(shape={self.shape}, width={self.width}, "
@@ -160,9 +214,11 @@ class BELL:
     @property
     def nnz(self) -> int:
         br, bc = self.blocksize
-        return int(jnp.sum(self.row_nnz)) * br * bc
+        return int(np.sum(np.asarray(self.row_nnz))) * br * bc
 
     def valid_mask(self) -> jax.Array:
+        if isinstance(self.row_nnz, np.ndarray):     # host/setup path
+            return np.arange(self.width)[None, :] < self.row_nnz[:, None]
         k = jnp.arange(self.width, dtype=jnp.int32)[None, :]
         return k < self.row_nnz[:, None]
 
@@ -227,7 +283,7 @@ class DIA:
 
     @property
     def nnz(self) -> int:
-        return int(jnp.sum(self.data != 0))
+        return int(np.count_nonzero(np.asarray(self.data)))
 
     def mv(self, x):
         from pyamg_tpu.ops.spmv import dia_spmv
@@ -269,8 +325,7 @@ def dia_from_ell(A: ELL, max_diags: int = 64):
     r, k = np.nonzero(valid & (vals != 0))
     d = np.array([lut[int(o)] for o in offs[r, k]])
     data[d, r] = vals[r, k]
-    return DIA(jnp.asarray(data), tuple(int(o) for o in uniq),
-               (n, n))
+    return DIA(data, tuple(int(o) for o in uniq), (n, n))
 
 
 def ell_from_dia(A: DIA) -> ELL:
@@ -283,6 +338,218 @@ def ell_from_dia(A: DIA) -> ELL:
                        np.asarray(A.offsets)), shape=A.shape).tocsr()
     M.eliminate_zeros()
     return from_scipy(M)
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=("arrays",),
+         meta_fields=("offsets", "row_grid", "col_grid", "ratio", "trans",
+                      "_nnz"))
+@dataclasses.dataclass(frozen=True)
+class PhaseStencil:
+    """Grid-structured transfer operator (prolongation/restriction) —
+    the gather-free TPU fast path for P and R.
+
+    When coarsening is grid-aligned (``grid_aggregation``), every fine
+    node ``i`` with grid coords ``x`` belongs to coarse cell ``q = x // r``
+    with phase ``p = x % r``, and the columns of row ``i`` sit at cells
+    ``q + off`` for a tiny static offset set.  Then
+
+        (P x)[cell q, phase p] = sum_k arrays[p][k, q] * X[q + off[p][k]]
+
+    i.e. SpMV becomes per-phase sums of *shifted elementwise products* on
+    the coarse grid — pure VPU streaming, no gathers (same principle as
+    ``DIA`` but for rectangular grid-ratio operators).  The adjoint
+    (restriction) is the mirrored scatter of the same arrays, so ``R=P^T``
+    shares storage via ``trans=True``.
+
+    Replaces the reference's CSR ``P @ x`` / ``P.T @ r`` transfer products
+    (``pyamg/multilevel.py:614,660``) on stencil hierarchies.
+    """
+
+    arrays: Tuple[jax.Array, ...]       # per phase: (n_off_p, *col_grid)
+    offsets: Tuple[Tuple[Tuple[int, ...], ...], ...]  # per phase: offsets
+    row_grid: Tuple[int, ...]
+    col_grid: Tuple[int, ...]
+    ratio: Tuple[int, ...]
+    trans: bool = False
+    _nnz: int = 0
+
+    # -- static properties ---------------------------------------------------
+    @property
+    def shape(self) -> Tuple[int, int]:
+        nf = int(np.prod(self.row_grid))
+        nc = int(np.prod(self.col_grid))
+        return (nc, nf) if self.trans else (nf, nc)
+
+    @property
+    def dtype(self):
+        return self.arrays[0].dtype
+
+    @property
+    def nnz(self) -> int:
+        return self._nnz
+
+    @property
+    def blocksize(self) -> Tuple[int, int]:
+        return (1, 1)
+
+    @property
+    def T(self):
+        return dataclasses.replace(self, trans=not self.trans)
+
+    @property
+    def H(self):
+        if jnp.iscomplexobj(self.arrays[0]):
+            arrays = tuple(jnp.conj(a) for a in self.arrays)
+            return dataclasses.replace(self, arrays=arrays,
+                                       trans=not self.trans)
+        return self.T
+
+    def astype(self, dtype):
+        return dataclasses.replace(
+            self, arrays=tuple(a.astype(dtype) for a in self.arrays))
+
+    def __repr__(self):
+        return (f"PhaseStencil(row_grid={self.row_grid}, "
+                f"col_grid={self.col_grid}, ratio={self.ratio}, "
+                f"trans={self.trans}, dtype={self.dtype})")
+
+    # -- padding extents (static) --------------------------------------------
+    def _extents(self):
+        nd = len(self.col_grid)
+        lo = [0] * nd
+        hi = [0] * nd
+        for offs in self.offsets:
+            for off in offs:
+                for d in range(nd):
+                    lo[d] = max(lo[d], -off[d])
+                    hi[d] = max(hi[d], off[d])
+        return tuple(lo), tuple(hi)
+
+    # -- apply ---------------------------------------------------------------
+    def mv(self, x: jax.Array) -> jax.Array:
+        if x.ndim == 2:
+            return jax.vmap(self.mv, in_axes=1, out_axes=1)(x)
+        return self._rmv(x) if self.trans else self._fmv(x)
+
+    def __matmul__(self, x):
+        return self.mv(x)
+
+    def _fmv(self, x: jax.Array) -> jax.Array:
+        """y = P @ x (fine output)."""
+        cg, rg, r = self.col_grid, self.row_grid, self.ratio
+        nd = len(cg)
+        lo, hi = self._extents()
+        X = jnp.pad(x.reshape(cg), list(zip(lo, hi)))
+        phases = []
+        for p in range(len(self.arrays)):
+            arr = self.arrays[p]                       # (n_off, *cg)
+            acc = None
+            for k, off in enumerate(self.offsets[p]):
+                sl = tuple(slice(lo[d] + off[d], lo[d] + off[d] + cg[d])
+                           for d in range(nd))
+                term = arr[k] * X[sl]
+                acc = term if acc is None else acc + term
+            if acc is None:
+                acc = jnp.zeros(cg, x.dtype)
+            phases.append(acc)
+        Y = jnp.stack(phases).reshape(tuple(r) + tuple(cg))
+        # (r0..rk, c0..ck) -> (c0, r0, c1, r1, ...)
+        axes = []
+        for d in range(nd):
+            axes += [nd + d, d]
+        Y = jnp.transpose(Y, axes)
+        Y = Y.reshape(tuple(cg[d] * r[d] for d in range(nd)))
+        Y = Y[tuple(slice(0, rg[d]) for d in range(nd))]
+        return Y.reshape(-1)
+
+    def _rmv(self, y: jax.Array) -> jax.Array:
+        """x = P.T @ y (coarse output)."""
+        cg, rg, r = self.col_grid, self.row_grid, self.ratio
+        nd = len(cg)
+        lo, hi = self._extents()
+        pad_fine = [(0, cg[d] * r[d] - rg[d]) for d in range(nd)]
+        Y = jnp.pad(y.reshape(rg), pad_fine)
+        # (c0*r0, ...) -> (c0, r0, c1, r1, ...) -> (r0..rk, c0..ck)
+        Y = Y.reshape(sum(((cg[d], r[d]) for d in range(nd)), ()))
+        axes = [2 * d + 1 for d in range(nd)] + [2 * d for d in range(nd)]
+        Yp = jnp.transpose(Y, axes).reshape((-1,) + tuple(cg))
+        acc = jnp.zeros(tuple(cg[d] + lo[d] + hi[d] for d in range(nd)),
+                        y.dtype)
+        for p in range(len(self.arrays)):
+            arr = self.arrays[p]
+            for k, off in enumerate(self.offsets[p]):
+                sl = tuple(slice(lo[d] + off[d], lo[d] + off[d] + cg[d])
+                           for d in range(nd))
+                acc = acc.at[sl].add(arr[k] * Yp[p])
+        out = acc[tuple(slice(lo[d], lo[d] + cg[d]) for d in range(nd))]
+        return out.reshape(-1)
+
+
+def phase_stencil_from_ell(P: ELL, row_grid, col_grid, max_offsets=48,
+                           max_reach=4):
+    """Convert a grid-structured transfer operator to ``PhaseStencil``.
+
+    Returns None when the operator isn't phase-structured (offsets too
+    many/far).  Host-side, setup phase.
+    """
+    row_grid = tuple(int(g) for g in row_grid)
+    col_grid = tuple(int(g) for g in col_grid)
+    nd = len(row_grid)
+    if len(col_grid) != nd:
+        return None
+    nf = int(np.prod(row_grid))
+    nc = int(np.prod(col_grid))
+    if P.shape != (nf, nc):
+        return None
+    ratio = tuple(-(-row_grid[d] // col_grid[d]) for d in range(nd))
+    if any(r < 1 for r in ratio):
+        return None
+
+    cols = np.asarray(P.cols)
+    vals = np.asarray(P.vals)
+    valid = np.arange(P.width)[None, :] < np.asarray(P.row_nnz)[:, None]
+    valid = valid & (vals != 0)
+
+    rows_i, slot_k = np.nonzero(valid)
+    if len(rows_i) == 0:
+        return None
+    fcoord = np.stack(np.unravel_index(rows_i, row_grid), axis=1)  # (m, nd)
+    ccoord = np.stack(np.unravel_index(cols[rows_i, slot_k], col_grid),
+                      axis=1)
+    rat = np.array(ratio)
+    cell = fcoord // rat
+    if np.any(cell >= np.array(col_grid)):
+        return None
+    phase = fcoord % rat
+    off = ccoord - cell                                 # (m, nd)
+    if np.abs(off).max() > max_reach:
+        return None
+    pidx = np.ravel_multi_index(phase.T, ratio)
+    cellidx = np.ravel_multi_index(cell.T, col_grid)
+    v = vals[rows_i, slot_k]
+
+    nphase = int(np.prod(ratio))
+    arrays, offsets = [], []
+    total_offs = 0
+    for p in range(nphase):
+        m = pidx == p
+        if not m.any():
+            arrays.append(np.zeros((0,) + col_grid, vals.dtype))
+            offsets.append(())
+            continue
+        offs_p = off[m]
+        uniq, inv = np.unique(offs_p, axis=0, return_inverse=True)
+        total_offs += len(uniq)
+        if total_offs > max_offsets:
+            return None
+        arr = np.zeros((len(uniq), nc), vals.dtype)
+        np.add.at(arr, (inv, cellidx[m]), v[m])
+        arrays.append(arr.reshape((len(uniq),) + col_grid))
+        offsets.append(tuple(tuple(int(o) for o in u) for u in uniq))
+    nnz = int(np.count_nonzero(vals[valid]))
+    return PhaseStencil(tuple(arrays), tuple(offsets), row_grid,
+                        col_grid, ratio, trans=False, _nnz=nnz)
 
 
 # ---------------------------------------------------------------------------
@@ -310,8 +577,7 @@ def ell_from_csr_arrays(indptr, indices, data, shape, width=None,
         offs = np.arange(len(indices)) - np.repeat(indptr[:-1], row_nnz)
         cols[rows, offs] = indices
         vals[rows, offs] = data
-    return ELL(jnp.asarray(cols), jnp.asarray(vals),
-               jnp.asarray(row_nnz), (int(shape[0]), int(shape[1])))
+    return ELL(cols, vals, row_nnz, (int(shape[0]), int(shape[1])))
 
 
 def from_scipy(A, width=None):
@@ -342,7 +608,7 @@ def bell_from_scipy(A, width=None) -> BELL:
         offs = np.arange(len(indices)) - np.repeat(indptr[:-1], row_nnz)
         cols[rows, offs] = indices
         vals[rows, offs] = data
-    return BELL(jnp.asarray(cols), jnp.asarray(vals), jnp.asarray(row_nnz),
+    return BELL(cols, vals, row_nnz,
                 (int(A.shape[0]), int(A.shape[1])), (int(br), int(bc)))
 
 
@@ -383,11 +649,12 @@ def asarray_or_ell(A, dtype=None):
 
 
 def eye(n, dtype=jnp.float32, width: int = 1) -> ELL:
-    """Identity matrix as ELL."""
-    cols = jnp.zeros((n, width), dtype=jnp.int32)
-    cols = cols.at[:, 0].set(jnp.arange(n, dtype=jnp.int32))
-    vals = jnp.zeros((n, width), dtype=dtype).at[:, 0].set(1)
-    return ELL(cols, vals, jnp.ones((n,), jnp.int32), (n, n))
+    """Identity matrix as ELL (host-backed; setup-phase)."""
+    cols = np.zeros((n, width), dtype=np.int32)
+    cols[:, 0] = np.arange(n, dtype=np.int32)
+    vals = np.zeros((n, width), dtype=dtype)
+    vals[:, 0] = 1
+    return ELL(cols, vals, np.ones((n,), np.int32), (n, n))
 
 
 def ell_from_coo(rows, cols, vals, shape, width=None, sum_duplicates=True,

@@ -15,27 +15,34 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from pyamg_tpu.sparse.matrix import ELL, BELL
+from pyamg_tpu.sparse.matrix import ELL, BELL, is_concrete
 from pyamg_tpu.ops.rowops import ell_dedup
 
 
+def _xp(*arrays):
+    """numpy on host (setup phase — no XLA compiles), jnp under trace."""
+    return np if is_concrete(*arrays) else jnp
+
+
 def _scale_rows_by_largest_entry(cols, vals, valid):
-    mx = jnp.max(jnp.where(valid, jnp.abs(vals), 0), axis=1, keepdims=True)
-    return jnp.where(mx > 0, vals / jnp.where(mx == 0, 1, mx), vals)
+    xp = _xp(cols, vals, valid)
+    mx = xp.max(xp.where(valid, xp.abs(vals), 0), axis=1, keepdims=True)
+    return xp.where(mx > 0, vals / xp.where(mx == 0, 1, mx), vals)
 
 
 def _block_reduce(A: BELL, norm="abs"):
     """Collapse a BELL into its node-level ELL condensation
     (reference ``strength.py:195-216``)."""
+    xp = _xp(A.vals)
     if norm == "abs":
-        data = jnp.max(jnp.abs(A.vals), axis=(2, 3))
+        data = xp.max(xp.abs(A.vals), axis=(2, 3))
     elif norm == "min":
-        data = jnp.min(A.vals, axis=(2, 3))
+        data = xp.min(A.vals, axis=(2, 3))
     elif norm == "fro":
-        data = jnp.sum(jnp.abs(A.vals) ** 2, axis=(2, 3))
+        data = xp.sum(xp.abs(A.vals) ** 2, axis=(2, 3))
     else:
         raise ValueError("invalid norm")
-    data = jnp.where(jnp.abs(data) < 1e-16, 0.0, data)
+    data = xp.where(xp.abs(data) < 1e-16, 0.0, data)
     nb = A.n_block_rows
     return ELL(A.cols, data, A.row_nnz, (nb, A.n_block_cols))
 
@@ -47,23 +54,24 @@ def classical_strength_of_connection(A, theta=0.1, block=True, norm="abs"):
     if isinstance(A, BELL):
         A = _block_reduce(A, norm if norm in ("abs", "min", "fro") else "abs")
     n = A.shape[0]
-    rows = jnp.arange(n, dtype=jnp.int32)[:, None]
+    xp = _xp(A.vals)
+    rows = xp.arange(n, dtype=xp.int32)[:, None]
     valid = A.valid_mask()
     offd = valid & (A.cols != rows)
     if norm in ("abs", "fro"):
-        mag = jnp.abs(A.vals)
-        mx = jnp.max(jnp.where(offd, mag, 0), axis=1, keepdims=True)
+        mag = xp.abs(A.vals)
+        mx = xp.max(xp.where(offd, mag, 0), axis=1, keepdims=True)
         keep = offd & (mag >= theta * mx)
     elif norm == "min":
-        neg = -jnp.real(A.vals)
-        mx = jnp.max(jnp.where(offd, neg, -jnp.inf), axis=1, keepdims=True)
+        neg = -xp.real(A.vals)
+        mx = xp.max(xp.where(offd, neg, -xp.inf), axis=1, keepdims=True)
         keep = offd & (neg >= theta * mx) & (mx > 0)
     else:
         raise ValueError("unrecognized norm")
     keep = keep | (valid & (A.cols == rows))   # always keep diagonal
-    vals = jnp.abs(A.vals)
+    vals = xp.abs(A.vals)
     vals = _scale_rows_by_largest_entry(A.cols, vals, keep)
-    return ell_dedup(A.cols, jnp.where(keep, vals, 0), keep, A.shape)
+    return ell_dedup(A.cols, xp.where(keep, vals, 0), keep, A.shape)
 
 
 def symmetric_strength_of_connection(A, theta=0):
@@ -71,24 +79,26 @@ def symmetric_strength_of_connection(A, theta=0):
     ``strength.py:248`` / ``smoothed_aggregation.h:56``)."""
     if theta < 0:
         raise ValueError("expected a positive theta")
+    xp = _xp(A.vals)
     if isinstance(A, BELL):
         if theta == 0:
             nb = A.n_block_rows
-            ones = jnp.where(A.valid_mask(), 1.0, 0.0)
+            ones = xp.where(A.valid_mask(), 1.0, 0.0)
             return ELL(A.cols, ones, A.row_nnz, (nb, A.n_block_cols))
         A = _block_reduce(A, "fro")
     n = A.shape[0]
-    rows = jnp.arange(n, dtype=jnp.int32)[:, None]
+    rows = xp.arange(n, dtype=xp.int32)[:, None]
     valid = A.valid_mask()
     isdiag = A.cols == rows
-    diag = jnp.sum(jnp.where(isdiag & valid, A.vals, 0), axis=1)
-    dn = jnp.abs(diag)
-    magsq = jnp.abs(A.vals) ** 2
-    thresh = (theta * theta) * dn[:, None] * dn[A.cols]
+    diag = xp.sum(xp.where(isdiag & valid, A.vals, 0), axis=1)
+    dn = xp.abs(diag)
+    magsq = xp.abs(A.vals) ** 2
+    cols_idx = np.asarray(A.cols) if xp is np else A.cols
+    thresh = (theta * theta) * dn[:, None] * dn[cols_idx]
     keep = valid & ((magsq >= thresh) | isdiag)
-    vals = jnp.abs(A.vals)
+    vals = xp.abs(A.vals)
     vals = _scale_rows_by_largest_entry(A.cols, vals, keep)
-    return ell_dedup(A.cols, jnp.where(keep, vals, 0), keep, A.shape)
+    return ell_dedup(A.cols, xp.where(keep, vals, 0), keep, A.shape)
 
 
 def distance_strength_of_connection(A, V, theta=2.0, relative_drop=True):

@@ -11,17 +11,20 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from pyamg_tpu.sparse.matrix import ELL, BELL
+from pyamg_tpu.sparse.matrix import ELL, BELL, is_concrete
 from pyamg_tpu.ops.spmv import matvec as sp_matvec
 
 
 def norm(x, pnorm="2"):
-    """Vector norm (2-norm default); matches reference ``linalg.py:13``."""
-    x = jnp.asarray(x)
+    """Vector norm (2-norm default); matches reference ``linalg.py:13``.
+
+    Host inputs stay in numpy (setup phase — no XLA compiles)."""
+    xp = np if is_concrete(x) else jnp
+    x = xp.asarray(x)
     if pnorm == "2":
-        return jnp.sqrt(jnp.real(jnp.vdot(x, x)))
+        return xp.sqrt(xp.real(xp.vdot(x, x)))
     if pnorm == "inf":
-        return jnp.max(jnp.abs(x))
+        return xp.max(xp.abs(x))
     raise ValueError(f"unsupported norm {pnorm!r}")
 
 
@@ -31,7 +34,8 @@ def infinity_norm(A) -> float:
         if isinstance(A, BELL):
             from pyamg_tpu.sparse.matrix import to_scipy
             return float(abs(to_scipy(A)).sum(axis=1).max())
-        return float(jnp.max(jnp.sum(jnp.abs(A.vals), axis=1)))
+        vals = np.asarray(A.vals)
+        return float(np.max(np.sum(np.abs(vals), axis=1)))
     return float(np.abs(np.asarray(A)).sum(axis=1).max())
 
 
@@ -46,19 +50,21 @@ def _as_matvec(A):
 
 def _arnoldi(mv, n, dtype, maxiter, v0):
     """Arnoldi with modified Gram-Schmidt; returns (H, V, breakdown)."""
+    xp = np if is_concrete(v0) else jnp
     V = []
     v = v0 / norm(v0)
     V.append(v)
     H = np.zeros((maxiter + 1, maxiter),
-                 dtype=np.complex128 if jnp.iscomplexobj(v0) else np.float64)
+                 dtype=np.complex128 if np.iscomplexobj(np.asarray(v0))
+                 else np.float64)
     breakdown = False
     k = maxiter
     for j in range(maxiter):
         w = mv(V[j])
         for i in range(j + 1):
-            h = jnp.vdot(V[i], w)
+            h = xp.vdot(V[i], w)
             w = w - h * V[i]
-            H[i, j] = complex(h) if np.iscomplexobj(H) else float(jnp.real(h))
+            H[i, j] = complex(h) if np.iscomplexobj(H) else float(xp.real(h))
         beta = float(norm(w))
         H[j + 1, j] = beta
         if beta < 1e-14 * max(1.0, abs(H[j, j])):
@@ -82,11 +88,11 @@ def approximate_spectral_radius(A, tol=0.01, maxiter=15, restart=5,
     rng = np.random.default_rng(seed)
     if initial_guess is None:
         v0 = rng.random(n)
-        if jnp.issubdtype(dtype, jnp.complexfloating):
+        if np.issubdtype(np.dtype(dtype), np.complexfloating):
             v0 = v0 + 1j * rng.random(n)
-        v0 = jnp.asarray(v0, dtype=dtype)
+        v0 = np.asarray(v0, dtype=dtype)
     else:
-        v0 = jnp.asarray(initial_guess, dtype=dtype).reshape(-1)
+        v0 = np.asarray(initial_guess, dtype=dtype).reshape(-1)
 
     ev_max = 0.0
     vec = v0
@@ -100,8 +106,8 @@ def approximate_spectral_radius(A, tol=0.01, maxiter=15, restart=5,
         mi = int(np.abs(evals).argmax())
         ev_max = float(np.abs(evals[mi]))
         err = abs(H[k, k - 1] * evects[-1, mi]) if H.shape[0] > k else 0.0
-        Vm = jnp.stack(V[:k], axis=1)
-        vec = Vm @ jnp.asarray(evects[:, mi], dtype=Vm.dtype)
+        Vm = np.stack([np.asarray(v) for v in V[:k]], axis=1)
+        vec = Vm @ np.asarray(evects[:, mi], dtype=Vm.dtype)
         if breakdown or (ev_max > 0 and err / ev_max < tol):
             break
     if return_vector:
@@ -114,7 +120,7 @@ def condest(A, maxiter=25, symmetric=False, seed=0):
     (reference ``linalg.py:384``)."""
     mv, n, dtype = _as_matvec(A)
     rng = np.random.default_rng(seed)
-    v0 = jnp.asarray(rng.random(n), dtype=dtype)
+    v0 = np.asarray(rng.random(n), dtype=dtype)
     H, V, _ = _arnoldi(mv, n, dtype, min(maxiter, n), v0)
     k = H.shape[1]
     ev = np.linalg.eigvals(H[:k, :k])
@@ -127,12 +133,12 @@ def ishermitian(A, fast_check=True, tol=1e-6, seed=0):
     mv, n, dtype = _as_matvec(A)
     rng = np.random.default_rng(seed)
     if fast_check:
-        x = jnp.asarray(rng.random(n), dtype=dtype)
-        y = jnp.asarray(rng.random(n), dtype=dtype)
-        lhs = jnp.vdot(x, mv(y))
-        rhs = jnp.vdot(mv(x), y)
-        scale = float(norm(mv(x)) * norm(y)) + 1e-300
-        return bool(jnp.abs(lhs - rhs) / scale < tol)
+        x = np.asarray(rng.random(n), dtype=dtype)
+        y = np.asarray(rng.random(n), dtype=dtype)
+        lhs = complex(np.vdot(x, np.asarray(mv(y))))
+        rhs = complex(np.vdot(np.asarray(mv(x)), y))
+        scale = float(norm(np.asarray(mv(x))) * norm(y)) + 1e-300
+        return bool(abs(lhs - rhs) / scale < tol)
     from pyamg_tpu.sparse.matrix import to_scipy
     M = to_scipy(A) if isinstance(A, (ELL, BELL)) else np.asarray(A)
     diff = abs(M - M.conj().T)
@@ -146,6 +152,13 @@ def pinv_array(blocks, tol=None):
 
     blocks: (m, k, k) array -> (m, k, k) of pinv's; TPU-native batched op.
     """
+    if is_concrete(blocks):
+        blocks = np.asarray(blocks)
+        if blocks.shape[-1] == 1:
+            d = blocks[..., 0, 0]
+            inv = np.where(np.abs(d) > 0, 1.0 / np.where(d == 0, 1, d), 0.0)
+            return inv[..., None, None]
+        return np.linalg.pinv(blocks)
     blocks = jnp.asarray(blocks)
     if blocks.shape[-1] == 1:
         d = blocks[..., 0, 0]

@@ -217,43 +217,43 @@ def scale_T(T, Cnodes, pinv_tol=1e-10):
     nagg = len(Cnodes)
     if isinstance(T, BELL):
         bs = T.blocksize[0]
-        # D_j = block of T at (Cnodes[j], j)
-        rootrows = jnp.asarray(Cnodes, jnp.int32)
-        hit = (T.cols[rootrows] ==
-               jnp.arange(nagg, dtype=jnp.int32)[:, None]) & \
-            T.valid_mask()[rootrows]
-        D = jnp.einsum("jw,jwab->jab", hit.astype(T.dtype),
-                       T.vals[rootrows])
+        # D_j = block of T at (Cnodes[j], j)  (host/setup: numpy)
+        rootrows = np.asarray(Cnodes, np.int64)
+        Tc = np.asarray(T.cols)
+        Tv = np.asarray(T.vals)
+        vmask = np.asarray(T.valid_mask())
+        hit = (Tc[rootrows] == np.arange(nagg)[:, None]) & vmask[rootrows]
+        D = np.einsum("jw,jwab->jab", hit.astype(Tv.dtype), Tv[rootrows])
         from pyamg_tpu.util.linalg import pinv_array
-        Dinv = pinv_array(D)
-        vals = jnp.einsum("nwab,nwbc->nwac", T.vals, Dinv[T.cols])
+        Dinv = np.asarray(pinv_array(D))
+        vals = np.einsum("nwab,nwbc->nwac", Tv, Dinv[Tc])
         # zero root rows then install identity blocks
         is_root = np.zeros(T.n_block_rows, bool)
         is_root[Cnodes] = True
-        is_root_j = jnp.asarray(is_root)
-        eye = jnp.eye(bs, dtype=T.dtype)
-        cols = T.cols.at[rootrows, 0].set(
-            jnp.arange(nagg, dtype=jnp.int32))
-        vals = jnp.where(is_root_j[:, None, None, None], 0, vals)
-        vals = vals.at[rootrows, 0].set(eye)
-        rn = jnp.where(is_root_j, 1, T.row_nnz)
+        eye = np.eye(bs, dtype=Tv.dtype)
+        cols = Tc.copy()
+        cols[rootrows, 0] = np.arange(nagg, dtype=np.int32)
+        vals = np.where(is_root[:, None, None, None], 0, vals)
+        vals[rootrows, 0] = eye
+        rn = np.where(is_root, 1, np.asarray(T.row_nnz)).astype(np.int32)
         return BELL(cols, vals, rn, T.shape, T.blocksize)
-    # scalar: D_j = T[Cnodes[j], j]
-    rootrows = jnp.asarray(Cnodes, jnp.int32)
-    hit = (T.cols[rootrows] ==
-           jnp.arange(nagg, dtype=jnp.int32)[:, None]) & \
-        T.valid_mask()[rootrows]
-    D = jnp.sum(jnp.where(hit, T.vals[rootrows], 0), axis=1)
-    Dinv = jnp.where(jnp.abs(D) > pinv_tol,
-                     1.0 / jnp.where(D == 0, 1, D), 0.0)
-    vals = T.vals * Dinv[T.cols]
+    # scalar: D_j = T[Cnodes[j], j]  (host/setup: numpy)
+    rootrows = np.asarray(Cnodes, np.int64)
+    Tc = np.asarray(T.cols)
+    Tv = np.asarray(T.vals)
+    vmask = np.asarray(T.valid_mask())
+    hit = (Tc[rootrows] == np.arange(nagg)[:, None]) & vmask[rootrows]
+    D = np.sum(np.where(hit, Tv[rootrows], 0), axis=1)
+    Dinv = np.where(np.abs(D) > pinv_tol,
+                    1.0 / np.where(D == 0, 1, D), 0.0)
+    vals = Tv * Dinv[Tc]
     is_root = np.zeros(T.shape[0], bool)
     is_root[Cnodes] = True
-    is_root_j = jnp.asarray(is_root)
-    cols = T.cols.at[rootrows, 0].set(jnp.arange(nagg, dtype=jnp.int32))
-    vals = jnp.where(is_root_j[:, None], 0, vals)
-    vals = vals.at[rootrows, 0].set(1.0)
-    rn = jnp.where(is_root_j, 1, T.row_nnz)
+    cols = Tc.copy()
+    cols[rootrows, 0] = np.arange(nagg, dtype=np.int32)
+    vals = np.where(is_root[:, None], 0, vals)
+    vals[rootrows, 0] = 1.0
+    rn = np.where(is_root, 1, np.asarray(T.row_nnz)).astype(np.int32)
     return ELL(cols, vals, rn, T.shape)
 
 
@@ -286,3 +286,26 @@ def truncate_rows(A: ELL, nz_per_row):
     keep = valid & (rank < nz_per_row)
     from pyamg_tpu.ops.rowops import ell_dedup
     return ell_dedup(A.cols, jnp.where(keep, A.vals, 0), keep, A.shape)
+
+
+def hierarchy_spectrum(ml, filter_entries=True):
+    """Eigenvalue table for every level of a hierarchy (reference
+    ``utils.py:912``): returns a list of 1-D eigenvalue arrays and prints a
+    per-level summary of real/imag ranges.
+
+    Levels are densified — diagnostic use on small/medium hierarchies only.
+    """
+    from pyamg_tpu.sparse.matrix import to_scipy
+    eigs = []
+    for lvl in ml.levels:
+        Ad = to_scipy(lvl.A).toarray()
+        if filter_entries:
+            keep = np.abs(Ad).sum(axis=1) != 0
+            Ad = Ad[np.ix_(keep, keep)]
+        eigs.append(np.linalg.eigvals(Ad))
+    print("  lvl     n     min(re)      max(re)      min(im)      max(im)")
+    for i, e in enumerate(eigs):
+        print(f"{i:5d} {e.shape[0]:6d} {e.real.min():12.4e} "
+              f"{e.real.max():12.4e} {e.imag.min():12.4e} "
+              f"{e.imag.max():12.4e}")
+    return eigs
