@@ -89,6 +89,12 @@ def dia_spmv(A: DIA, x: jax.Array) -> jax.Array:
     streaming pass, which is the TPU speed-of-light formulation for
     stencil operators (vs. the gather-based ELL path).
     """
+    from pyamg_tpu.ops.pallas_kernels import dia_spmv_pallas, \
+        pallas_available
+    if x.ndim == 1 and not is_concrete(x) and pallas_available():
+        y = dia_spmv_pallas(A, x)
+        if y is not None:
+            return y
     n = A.shape[0]
     offs = A.offsets
     lo = max(0, -min(offs))
@@ -98,7 +104,7 @@ def dia_spmv(A: DIA, x: jax.Array) -> jax.Array:
     acc = None
     for d, off in enumerate(offs):
         xs = jax.lax.slice_in_dim(xp, lo + off, lo + off + n, axis=0)
-        term = A.data[d][(...,) + (None,) * (x.ndim - 1)] * xs
+        term = A.data[d][:n][(...,) + (None,) * (x.ndim - 1)] * xs
         acc = term if acc is None else acc + term
     return acc
 

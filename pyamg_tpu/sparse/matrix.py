@@ -259,6 +259,11 @@ class DIA:
     SpMV becomes a sum of shifted elementwise products — no gathers, pure
     streaming, which is what the VPU/HBM pipeline wants.  Offsets are
     static so every op specializes at trace time.
+
+    ``data`` is row-padded to a multiple of the Pallas tile
+    (``ops.pallas_kernels.DIA_TILE``) with zeros so the fused single-pass
+    TPU kernel needs no per-call data movement; ``shape`` keeps the
+    logical size.
     """
 
     data: jax.Array            # (ndiag, n)
@@ -295,7 +300,9 @@ class DIA:
 
     def diagonal(self):
         if 0 in self.offsets:
-            return self.data[self.offsets.index(0)]
+            return self.data[self.offsets.index(0)][:self.shape[0]]
+        if isinstance(self.data, np.ndarray):
+            return np.zeros((self.shape[0],), self.data.dtype)
         return jnp.zeros((self.shape[0],), self.data.dtype)
 
     def astype(self, dtype):
@@ -321,7 +328,9 @@ def dia_from_ell(A: ELL, max_diags: int = 64):
     if len(uniq) == 0 or len(uniq) > max_diags:
         return None
     lut = {int(o): d for d, o in enumerate(uniq)}
-    data = np.zeros((len(uniq), n), vals.dtype)
+    from pyamg_tpu.ops.pallas_kernels import DIA_TILE
+    npad = -(-n // DIA_TILE) * DIA_TILE   # row-pad for the fused kernel
+    data = np.zeros((len(uniq), npad), vals.dtype)
     r, k = np.nonzero(valid & (vals != 0))
     d = np.array([lut[int(o)] for o in offs[r, k]])
     data[d, r] = vals[r, k]
@@ -332,7 +341,7 @@ def ell_from_dia(A: DIA) -> ELL:
     """DIA back to ELL (host-side)."""
     import scipy.sparse as sp
     n = A.shape[0]
-    data = np.asarray(A.data)
+    data = np.asarray(A.data)[:, :n]
     M = sp.dia_matrix((np.stack([np.roll(data[d], off)
                                  for d, off in enumerate(A.offsets)]),
                        np.asarray(A.offsets)), shape=A.shape).tocsr()
