@@ -117,7 +117,9 @@ def matvec(A, x):
         return dia_spmv(A, x)
     if isinstance(A, PhaseStencil):
         return A.mv(x)
-    return spmv(A, x)
+    if isinstance(A, ELL):
+        return spmv(A, x)
+    return A.mv(x)                       # HaloELL and other mv-providers
 
 
 def extract_diagonal(A) -> jax.Array:

@@ -12,6 +12,7 @@ replicated so the cycle tail runs redundantly and sync-free.
 from pyamg_tpu.parallel.partition import (
     make_row_mesh, pad_matrix_rows, shard_matrix, shard_hierarchy,
     replicate)
+from pyamg_tpu.parallel.halo import HaloELL, build_halo
 
 __all__ = ["make_row_mesh", "pad_matrix_rows", "shard_matrix",
-           "shard_hierarchy", "replicate"]
+           "shard_hierarchy", "replicate", "HaloELL", "build_halo"]

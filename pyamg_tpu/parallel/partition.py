@@ -77,13 +77,19 @@ def shard_vector(v, mesh: Mesh):
     return jax.device_put(v, NamedSharding(mesh, P("rows")))
 
 
-def shard_hierarchy(ml, mesh: Mesh, replicate_below=2048):
+def shard_hierarchy(ml, mesh: Mesh, replicate_below=2048, spmv="gspmd"):
     """Re-place a MultilevelSolver's level arrays across the mesh.
 
     Levels with more rows than ``replicate_below`` are row-sharded (their
     row dimension padded to a mesh multiple); smaller levels and the
     coarse-solver factorization are replicated.  Returns ml (modified in
     place; cycle cache cleared).
+
+    spmv='gspmd'  shard the ELL arrays and let GSPMD insert the collectives
+                  for the ``x[cols]`` gather (simple, but all-gathers x).
+    spmv='halo'   convert each sharded level operator to a ``HaloELL`` with
+                  a static ppermute halo-exchange plan (neighbour traffic
+                  only — the production multi-chip path).
     """
     ndev = mesh.devices.size
     ml._fine_n = ml.levels[0].A.shape[0]
@@ -91,7 +97,11 @@ def shard_hierarchy(ml, mesh: Mesh, replicate_below=2048):
     for i, lvl in enumerate(ml.levels):
         n = lvl.A.shape[0]
         if n > replicate_below and isinstance(lvl.A, ELL):
-            lvl.A = shard_matrix(_pad_square(lvl.A, ndev), mesh)
+            if spmv == "halo":
+                from pyamg_tpu.parallel.halo import build_halo
+                lvl.A = build_halo(lvl.A, mesh)
+            else:
+                lvl.A = shard_matrix(_pad_square(lvl.A, ndev), mesh)
             # P: rows follow this level; R: rows follow the coarse level
             if lvl.P is not None:
                 lvl.P = shard_matrix(pad_matrix_rows(lvl.P, ndev,
