@@ -11,7 +11,10 @@ from pyamg_tpu.util.utils import (levelize, profile_solver, scale_rows,
                                   eliminate_diag_dom_nodes,
                                   filter_matrix_rows, compute_BtBinv,
                                   filter_operator, scale_T, get_Cpt_params,
-                                  truncate_rows, hierarchy_spectrum)
+                                  truncate_rows, hierarchy_spectrum,
+                                  filter_matrix_columns,
+                                  scale_rows_by_largest_entry,
+                                  symmetric_rescaling_sa)
 from pyamg_tpu.util.bsr_utils import (bsr_getrow, bsr_row_setscalar,
                                       bsr_row_setvector)
 
@@ -23,5 +26,6 @@ __all__ = [
     "eliminate_diag_dom_nodes", "filter_matrix_rows", "compute_BtBinv",
     "filter_operator", "scale_T", "get_Cpt_params", "truncate_rows",
     "hierarchy_spectrum", "bsr_getrow", "bsr_row_setscalar",
-    "bsr_row_setvector",
+    "bsr_row_setvector", "filter_matrix_columns",
+    "scale_rows_by_largest_entry", "symmetric_rescaling_sa",
 ]

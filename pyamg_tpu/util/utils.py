@@ -309,3 +309,51 @@ def hierarchy_spectrum(ml, filter_entries=True):
               f"{e.real.max():12.4e} {e.imag.min():12.4e} "
               f"{e.imag.max():12.4e}")
     return eigs
+
+
+def filter_matrix_columns(A: ELL, theta):
+    """Drop |A_ij| < theta * max_k |A_kj| per COLUMN (reference
+    ``utils.py:1932``): segment-max over columns, then an elementwise
+    keep mask."""
+    from pyamg_tpu.sparse.matrix import is_concrete
+    from pyamg_tpu.ops.rowops import ell_dedup
+    valid = A.valid_mask()
+    if is_concrete(A.vals):
+        colmax = np.zeros((A.shape[1],))
+        np.maximum.at(colmax, np.asarray(A.cols),
+                      np.where(np.asarray(valid),
+                               np.abs(np.asarray(A.vals)), 0))
+        keep = valid & (np.abs(np.asarray(A.vals))
+                        >= theta * colmax[np.asarray(A.cols)])
+        vals = np.where(keep, np.asarray(A.vals), 0)
+        return ell_dedup(np.asarray(A.cols), vals, np.asarray(keep), A.shape)
+    colmax = jnp.zeros((A.shape[1],), jnp.abs(A.vals).dtype)
+    colmax = colmax.at[A.cols].max(jnp.where(valid, jnp.abs(A.vals), 0))
+    keep = valid & (jnp.abs(A.vals) >= theta * colmax[A.cols])
+    vals = jnp.where(keep, A.vals, 0)
+    return ell_dedup(A.cols, vals, keep, A.shape)
+
+
+def scale_rows_by_largest_entry(A: ELL) -> ELL:
+    """Divide every row by its largest |entry| (reference ``utils.py:1746``)."""
+    from pyamg_tpu.strength import _scale_rows_by_largest_entry
+    valid = A.valid_mask()
+    vals = _scale_rows_by_largest_entry(A.cols, A.vals, valid)
+    return ELL(A.cols, vals, A.row_nnz, A.shape, A.grid, A.col_grid)
+
+
+def symmetric_rescaling_sa(A, B, BH=None):
+    """Symmetric diagonal rescaling that also rescales near-nullspace
+    candidates (reference ``utils.py:371``): returns (DAD, DB, DBH) with
+    DAD = D^-1/2 A D^-1/2 and DB = D^1/2 B so that spans are preserved."""
+    from pyamg_tpu.sparse.matrix import is_concrete
+    xp = jnp if not is_concrete(A.vals) else np
+    d_sqrt, d_sqrt_inv, DAD = symmetric_rescaling(A)
+    d_sqrt = xp.asarray(d_sqrt)
+    DB = xp.asarray(B) * (d_sqrt[:, None] if xp.asarray(B).ndim == 2
+                          else d_sqrt)
+    DBH = None
+    if BH is not None:
+        DBH = xp.asarray(BH) * (d_sqrt[:, None]
+                                if xp.asarray(BH).ndim == 2 else d_sqrt)
+    return DAD, DB, DBH
