@@ -62,6 +62,7 @@ def bench_sa_poisson_3d_64():
     t0 = time.perf_counter()
     ml = smoothed_aggregation_solver(A64.astype(jnp.float32), max_coarse=50)
     setup = time.perf_counter() - t0
+    ml.compress_stencils()
     ml.to_device(jax.devices()[0])
     b = np.random.default_rng(0).standard_normal(A64.shape[0])
     dt, true, it = _solve_refined_time(ml, S, b)
@@ -83,6 +84,7 @@ def bench_anisotropic_512():
                                      strength=("evolution", {}),
                                      max_coarse=20)
     setup = time.perf_counter() - t0
+    ml.compress_stencils()
     ml.to_device(jax.devices()[0])
     b = np.random.default_rng(0).standard_normal(A64.shape[0])
     dt, true, it = _solve_refined_time(ml, S, b, inner_maxiter=60,
@@ -102,6 +104,7 @@ def bench_elasticity_100():
     ml = smoothed_aggregation_solver(A64.astype(jnp.float32),
                                      B=np.asarray(B), max_coarse=50)
     setup = time.perf_counter() - t0
+    ml.compress_stencils()
     ml.to_device(jax.devices()[0])
     b = np.random.default_rng(0).standard_normal(A64.shape[0])
     dt, true, it = _solve_refined_time(ml, S, b, inner_maxiter=60,
@@ -120,6 +123,7 @@ def bench_advection_gmres():
     t0 = time.perf_counter()
     ml = air_solver(A64.astype(jnp.float32))
     setup = time.perf_counter() - t0
+    ml.compress_stencils()
     ml.to_device(jax.devices()[0])
     b = np.asarray(rhs, np.float64)
     dt, true, it = _solve_refined_time(ml, S, b, accel="gmres",

@@ -31,7 +31,14 @@ if not _os.environ.get("PYAMG_TPU_NO_COMPILE_CACHE"):
 
 from pyamg_tpu.sparse import ELL, BELL, from_scipy, to_scipy
 
-__all__ = ["ELL", "BELL", "from_scipy", "to_scipy"]
+# mirror of the reference's public surface (pyamg/__init__.py:6-10) plus
+# the container types; names below resolve lazily via __getattr__
+__all__ = ["ELL", "BELL", "from_scipy", "to_scipy",
+           "ruge_stuben_solver", "smoothed_aggregation_solver",
+           "rootnode_solver", "adaptive_sa_solver", "pairwise_solver",
+           "air_solver", "solve", "solver", "solver_configuration",
+           "MultilevelSolver", "coarse_grid_solver", "gallery", "util",
+           "test"]
 
 
 def __getattr__(name):

@@ -15,37 +15,47 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from pyamg_tpu.sparse.matrix import ELL, BELL
+from pyamg_tpu.sparse.matrix import ELL, BELL, is_concrete
+
+
+def _xp(*arrays):
+    """numpy twin on the host/setup path (is_concrete), jnp under trace
+    (SURVEY.md: setup is latency-bound host work; tiny eager XLA dispatches
+    cost ~1s compile each on small hosts)."""
+    return np if is_concrete(*arrays) else jnp
 from pyamg_tpu.ops.rowops import ell_dedup, row_lookup
 from pyamg_tpu.strength import classical_strength_of_connection
 
 
 def _coarse_map(splitting):
     """coarse index of each C-point (exclusive prefix sum)."""
-    s = jnp.asarray(splitting, jnp.int32)
-    return jnp.cumsum(s) - s, int(jnp.sum(s))
+    xp = _xp(splitting)
+    s = xp.asarray(splitting, xp.int32)
+    return xp.cumsum(s).astype(xp.int32) - s, int(s.sum())
 
 
 def _strength_pattern(A: ELL, C: ELL):
     """(scols, smask, svals): C's off-diagonal pattern carrying values of A
     (the reference copies A entries into C's sparsity:
     ``interpolate.py:66-68``)."""
+    xp = _xp(A.vals, C.vals)
     n = A.shape[0]
-    rows = jnp.arange(n, dtype=jnp.int32)[:, None]
+    rows = xp.arange(n, dtype=xp.int32)[:, None]
     smask = C.valid_mask() & (C.cols != rows) & (C.vals != 0)
     svals = row_lookup(A, C.cols, smask)
     return C.cols, smask, svals
 
 
 def _row_sums(A: ELL):
+    xp = _xp(A.vals)
     n = A.shape[0]
-    rows = jnp.arange(n, dtype=jnp.int32)[:, None]
+    rows = xp.arange(n, dtype=xp.int32)[:, None]
     valid = A.valid_mask()
     isdiag = valid & (A.cols == rows)
     offd = valid & (A.cols != rows)
-    diag = jnp.sum(jnp.where(isdiag, A.vals, 0), axis=1)
-    pos = jnp.sum(jnp.where(offd & (jnp.real(A.vals) > 0), A.vals, 0), axis=1)
-    neg = jnp.sum(jnp.where(offd & (jnp.real(A.vals) < 0), A.vals, 0), axis=1)
+    diag = xp.sum(xp.where(isdiag, A.vals, 0), axis=1)
+    pos = xp.sum(xp.where(offd & (xp.real(A.vals) > 0), A.vals, 0), axis=1)
+    neg = xp.sum(xp.where(offd & (xp.real(A.vals) < 0), A.vals, 0), axis=1)
     return diag, pos, neg
 
 
@@ -56,47 +66,51 @@ def direct_interpolation(A: ELL, C: ELL, splitting, theta=None, norm="min"):
     injected as identity."""
     if theta is not None:
         C = classical_strength_of_connection(A, theta=theta, norm=norm)
-    split = jnp.asarray(splitting, jnp.int32)
+    xp = _xp(A.vals, C.vals if C is not None else A.vals)
+    split = xp.asarray(splitting, xp.int32)
     cmap, nc = _coarse_map(split)
     n = A.shape[0]
 
     scols, smask, svals = _strength_pattern(A, C)
     strongC = smask & (split[scols] == 1)
-    ssp = jnp.sum(jnp.where(strongC & (jnp.real(svals) > 0), svals, 0), axis=1)
-    ssn = jnp.sum(jnp.where(strongC & (jnp.real(svals) < 0), svals, 0), axis=1)
+    ssp = xp.sum(xp.where(strongC & (xp.real(svals) > 0), svals, 0), axis=1)
+    ssn = xp.sum(xp.where(strongC & (xp.real(svals) < 0), svals, 0), axis=1)
     diag, sap, san = _row_sums(A)
 
     no_pos = ssp == 0
-    diag = jnp.where(no_pos, diag + sap, diag)
-    alpha = jnp.where(ssn != 0, san / jnp.where(ssn == 0, 1, ssn), 0.0)
-    beta = jnp.where(no_pos, 0.0, sap / jnp.where(ssp == 0, 1, ssp))
+    diag = xp.where(no_pos, diag + sap, diag)
+    alpha = xp.where(ssn != 0, san / xp.where(ssn == 0, 1, ssn), 0.0)
+    beta = xp.where(no_pos, 0.0, sap / xp.where(ssp == 0, 1, ssp))
     neg_c = -alpha / diag
     pos_c = -beta / diag
 
-    pvals = jnp.where(jnp.real(svals) < 0, neg_c[:, None] * svals,
+    pvals = xp.where(xp.real(svals) < 0, neg_c[:, None] * svals,
                       pos_c[:, None] * svals)
     return _assemble_p(scols, strongC, pvals, split, cmap, nc, n)
 
 
 def _assemble_p(scols, strong_c_mask, pvals, split, cmap, nc, n):
     """Stack F-row entries (at strong-C slots) with C-row identity into P."""
+    xp = _xp(scols, pvals)
     is_c = (split == 1)
     fmask = strong_c_mask & ~is_c[:, None]
-    cand_cols = jnp.concatenate(
+    cand_cols = xp.concatenate(
         [cmap[scols], cmap[:, None]], axis=1)
-    cand_vals = jnp.concatenate(
-        [jnp.where(fmask, pvals, 0),
-         jnp.where(is_c, 1.0, 0.0).astype(pvals.dtype)[:, None]], axis=1)
-    cand_valid = jnp.concatenate([fmask, is_c[:, None]], axis=1)
+    cand_vals = xp.concatenate(
+        [xp.where(fmask, pvals, 0),
+         xp.where(is_c, 1.0, 0.0).astype(pvals.dtype)[:, None]], axis=1)
+    cand_valid = xp.concatenate([fmask, is_c[:, None]], axis=1)
     return ell_dedup(cand_cols, cand_vals, cand_valid, (n, nc))
 
 
 def remove_strong_FF_connections(A: ELL, C: ELL, splitting):
     """Zero strong F-F connections lacking a common strong C neighbor
     (reference ``ruge_stuben.h:1133``).  Returns C with such values zeroed."""
-    split = jnp.asarray(splitting, jnp.int32)
+    xp = _xp(A.vals, C.vals)
+    split = xp.asarray(splitting, xp.int32)
+    xp = _xp(A.vals, C.vals)
     n = A.shape[0]
-    rows = jnp.arange(n, dtype=jnp.int32)[:, None]
+    rows = xp.arange(n, dtype=xp.int32)[:, None]
     smask = C.valid_mask() & (C.cols != rows) & (C.vals != 0)
     is_f_row = (split == 0)[:, None]
     ff = smask & is_f_row & (split[C.cols] == 0)
@@ -105,19 +119,20 @@ def remove_strong_FF_connections(A: ELL, C: ELL, splitting):
     kvalid = C.valid_mask()[C.cols] & (C.vals[C.cols] != 0)
     c_slot = smask & (split[C.cols] == 1)     # strong C slots of row
     eq = kcols[:, :, :, None] == C.cols[:, None, None, :]
-    common = jnp.any(eq & kvalid[:, :, :, None] & c_slot[:, None, None, :],
+    common = xp.any(eq & kvalid[:, :, :, None] & c_slot[:, None, None, :],
                      axis=(2, 3))
     drop = ff & ~common
-    return ELL(C.cols, jnp.where(drop, 0, C.vals), C.row_nnz, C.shape)
+    return ELL(C.cols, xp.where(drop, 0, C.vals), C.row_nnz, C.shape)
 
 
 def classical_interpolation(A: ELL, C: ELL, splitting, theta=None,
                             norm="min", modified=True):
     """Distance-1 (modified) classical interpolation (reference
     ``interpolate.py:86`` / ``ruge_stuben.h:1239``)."""
+    xp = _xp(A.vals)
     if theta is not None:
         C = classical_strength_of_connection(A, theta=theta, norm=norm)
-    split = jnp.asarray(splitting, jnp.int32)
+    split = xp.asarray(splitting, xp.int32)
     if modified:
         C = remove_strong_FF_connections(A, C, split)
     cmap, nc = _coarse_map(split)
@@ -129,7 +144,7 @@ def classical_interpolation(A: ELL, C: ELL, splitting, theta=None,
 
     # denominator: full row sum minus strong off-diagonal entries
     diag, sap, san = _row_sums(A)
-    denom = (diag + sap + san) - jnp.sum(jnp.where(smask, svals, 0), axis=1)
+    denom = (diag + sap + san) - xp.sum(xp.where(smask, svals, 0), axis=1)
 
     # 2-hop data: for each strong neighbor k of i, A's row of k
     d = A.diagonal()
@@ -139,85 +154,87 @@ def classical_interpolation(A: ELL, C: ELL, splitting, theta=None,
     kvalid = A.valid_mask()[scols]
     # a_kj for every (k-slot, j-slot) pair over row i's strength slots
     eq = kcols[:, :, :, None] == scols[:, None, None, :]   # (n,Wk,WA,Wj)
-    akj = jnp.sum(jnp.where(eq & kvalid[:, :, :, None], kvals[:, :, :, None],
+    akj = xp.sum(xp.where(eq & kvalid[:, :, :, None], kvals[:, :, :, None],
                             0), axis=2)                     # (n, Wk, Wj)
     if modified:
-        sign_match = jnp.sign(jnp.real(akj)) == \
-            jnp.sign(jnp.real(a_kk))[:, :, None]
-        akj_eff = jnp.where(sign_match, 0, akj)
+        sign_match = xp.sign(xp.real(akj)) == \
+            xp.sign(xp.real(a_kk))[:, :, None]
+        akj_eff = xp.where(sign_match, 0, akj)
     else:
         akj_eff = akj
 
     # inner denominator per strong-F k-slot: sum over strong-C l-slots
-    inner = jnp.sum(jnp.where(strongC[:, None, :], akj_eff, 0), axis=2)
+    inner = xp.sum(xp.where(strongC[:, None, :], akj_eff, 0), axis=2)
 
     a_ik = svals                                        # (n, W)
     # contribution of k to numerator at j: a_ik * a_kj / inner
-    use = (jnp.abs(akj_eff) > 1e-15 * jnp.abs(a_ik)[:, :, None]) & \
+    use = (xp.abs(akj_eff) > 1e-15 * xp.abs(a_ik)[:, :, None]) & \
         strongF[:, :, None] & (inner[:, :, None] != 0)
-    contrib = jnp.where(
+    contrib = xp.where(
         use, a_ik[:, :, None] * akj_eff /
-        jnp.where(inner[:, :, None] == 0, 1, inner[:, :, None]), 0)
-    numer = svals + jnp.sum(contrib, axis=1)
-    pvals = -numer / jnp.where(denom == 0, 1, denom)[:, None]
+        xp.where(inner[:, :, None] == 0, 1, inner[:, :, None]), 0)
+    numer = svals + xp.sum(contrib, axis=1)
+    pvals = -numer / xp.where(denom == 0, 1, denom)[:, None]
     return _assemble_p(scols, strongC, pvals, split, cmap, nc, n)
 
 
 def injection_interpolation(A, splitting):
     """Injection: C-points by value, F rows empty (reference
     ``interpolate.py:174``)."""
-    split = jnp.asarray(splitting, jnp.int32)
+    xp = _xp(A.vals if not isinstance(A, BELL) else A.vals)
+    split = xp.asarray(splitting, xp.int32)
     cmap, nc = _coarse_map(split)
     if isinstance(A, BELL):
         bs = A.blocksize[0]
         nb = A.n_block_rows
         cols = cmap[:, None]
-        vals = jnp.where((split == 1)[:, None, None, None],
-                         jnp.eye(bs, dtype=A.dtype)[None, None], 0)
-        rn = (split == 1).astype(jnp.int32)
-        return BELL(jnp.where((split == 1)[:, None], cols, 0), vals, rn,
+        vals = xp.where((split == 1)[:, None, None, None],
+                         xp.eye(bs, dtype=A.dtype)[None, None], 0)
+        rn = (split == 1).astype(xp.int32)
+        return BELL(xp.where((split == 1)[:, None], cols, 0), vals, rn,
                     (nb * bs, nc * bs), (bs, bs))
     n = A.shape[0]
     is_c = split == 1
-    cols = jnp.where(is_c, cmap, 0)[:, None]
-    vals = jnp.where(is_c, 1.0, 0.0).astype(A.dtype)[:, None]
-    return ELL(cols, vals, is_c.astype(jnp.int32), (n, nc))
+    cols = xp.where(is_c, cmap, 0)[:, None]
+    vals = xp.where(is_c, 1.0, 0.0).astype(A.dtype)[:, None]
+    return ELL(cols, vals, is_c.astype(xp.int32), (n, nc))
 
 
 def one_point_interpolation(A, C: ELL, splitting, by_val=False):
     """One-point interpolation: each F-point takes its most strongly
     connected C neighbor (reference ``interpolate.py:241`` / ``air.h:46``).
     ``by_val=True`` uses ``-A_fc`` values instead of 1."""
-    split = jnp.asarray(splitting, jnp.int32)
+    xp = _xp(C.vals)
+    split = xp.asarray(splitting, xp.int32)
     cmap, nc = _coarse_map(split)
     n = C.shape[0]
-    rows = jnp.arange(n, dtype=jnp.int32)[:, None]
+    rows = xp.arange(n, dtype=xp.int32)[:, None]
     M = A if (by_val and not isinstance(A, BELL)) else C
     smask = M.valid_mask() & (M.cols != rows)
     cand = smask & (split[M.cols] == 1)
-    mag = jnp.where(cand, jnp.abs(M.vals), -1.0)
-    best = jnp.argmax(mag, axis=1)
-    has = jnp.take_along_axis(mag, best[:, None], axis=1)[:, 0] >= 0
-    bcol = jnp.take_along_axis(M.cols, best[:, None], axis=1)[:, 0]
-    bval = jnp.take_along_axis(M.vals, best[:, None], axis=1)[:, 0]
+    mag = xp.where(cand, xp.abs(M.vals), -1.0)
+    best = xp.argmax(mag, axis=1)
+    has = xp.take_along_axis(mag, best[:, None], axis=1)[:, 0] >= 0
+    bcol = xp.take_along_axis(M.cols, best[:, None], axis=1)[:, 0]
+    bval = xp.take_along_axis(M.vals, best[:, None], axis=1)[:, 0]
     is_c = split == 1
 
     if isinstance(A, BELL):
         bs = A.blocksize[0]
-        eye = jnp.eye(bs, dtype=A.dtype)
-        cols = jnp.where(is_c, cmap, cmap[bcol])[:, None]
+        eye = xp.eye(bs, dtype=A.dtype)
+        cols = xp.where(is_c, cmap, cmap[bcol])[:, None]
         valid = (is_c | has)
-        vals = jnp.where(valid[:, None, None, None], eye[None, None], 0)
-        return BELL(jnp.where(valid[:, None], cols, 0), vals,
-                    valid.astype(jnp.int32),
+        vals = xp.where(valid[:, None, None, None], eye[None, None], 0)
+        return BELL(xp.where(valid[:, None], cols, 0), vals,
+                    valid.astype(xp.int32),
                     (n * bs, nc * bs), (bs, bs))
-    val = jnp.where(is_c, 1.0,
-                    (-bval if by_val else jnp.ones_like(bval)))
-    cols = jnp.where(is_c, cmap, cmap[bcol])[:, None]
+    val = xp.where(is_c, 1.0,
+                    (-bval if by_val else xp.ones_like(bval)))
+    cols = xp.where(is_c, cmap, cmap[bcol])[:, None]
     valid = is_c | has
-    return ELL(jnp.where(valid[:, None], cols, 0),
-               jnp.where(valid, val, 0).astype(A.dtype)[:, None],
-               valid.astype(jnp.int32), (n, nc))
+    return ELL(xp.where(valid[:, None], cols, 0),
+               xp.where(valid, val, 0).astype(A.dtype)[:, None],
+               valid.astype(xp.int32), (n, nc))
 
 
 # ---------------------------------------------------------------------------

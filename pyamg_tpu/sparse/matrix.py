@@ -40,15 +40,32 @@ import numpy as np
 
 
 def is_concrete(*arrays) -> bool:
-    """True when no argument is a JAX tracer (i.e. host/setup context).
+    """True when no argument is a JAX tracer AND no trace is active
+    (i.e. genuine host/setup context).
 
     Setup-phase ops use this to run numpy twins: on small-CPU hosts every
     distinct eager XLA dispatch pays a ~1s tiny-kernel compile, so the
     latency-bound setup graph algorithms must stay in numpy; only the
     jitted solve phase touches XLA.
+
+    The trace-state check matters: inside a jit trace, device arrays that
+    arrive as *closure constants* are not Tracer instances, but any jnp op
+    on them yields a tracer — so the numpy twin would blow up on the first
+    ``np.asarray``.  Treat "being traced" as non-concrete.
     """
     from jax.core import Tracer
-    return not any(isinstance(a, Tracer) for a in arrays)
+    if any(isinstance(a, Tracer) for a in arrays):
+        return False
+    return trace_state_clean()
+
+
+def trace_state_clean() -> bool:
+    """True when no jit/vmap/etc trace is currently active."""
+    try:
+        from jax._src.core import trace_state_clean as _tsc
+        return _tsc()
+    except ImportError:  # pragma: no cover - future jax refactor
+        return True
 
 
 def _np_backed(*arrays) -> bool:

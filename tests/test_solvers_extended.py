@@ -253,3 +253,20 @@ def test_3d_poisson_sa_cg():
              accel="cg", residuals=res)
     assert res[-1] / res[0] < 1e-9
     assert len(res) - 1 <= 15
+
+
+def test_air_gmres_on_device_arrays():
+    """Regression: AMG-preconditioned GMRES with a device-resident (f32)
+    hierarchy — exercises the is_concrete trace-state guard (numpy twins
+    must not run inside the gmres jit trace when the hierarchy arrives as
+    closure constants)."""
+    import jax
+    from pyamg_tpu.gallery import advection_2d
+    from pyamg_tpu.classical import air_solver
+    A64, rhs = advection_2d((16, 16))
+    ml = air_solver(A64.astype(jnp.float32))
+    ml.to_device(jax.devices()[0])
+    res = []
+    ml.solve(np.asarray(rhs, np.float32), tol=1e-6, maxiter=8,
+             accel="gmres", residuals=res)
+    assert res[-1] / max(res[0], 1e-30) < 1e-5
