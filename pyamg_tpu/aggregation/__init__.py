@@ -3,7 +3,7 @@
 from pyamg_tpu.aggregation.aggregation import smoothed_aggregation_solver
 from pyamg_tpu.aggregation.aggregate import (
     standard_aggregation, naive_aggregation, pairwise_aggregation,
-    lloyd_aggregation, balanced_lloyd_aggregation)
+    lloyd_aggregation, balanced_lloyd_aggregation, metis_aggregation)
 from pyamg_tpu.aggregation.tentative import fit_candidates
 from pyamg_tpu.aggregation.smooth import (
     jacobi_prolongation_smoother, richardson_prolongation_smoother)
@@ -28,6 +28,6 @@ def __getattr__(name):
 __all__ = [
     "smoothed_aggregation_solver", "standard_aggregation",
     "naive_aggregation", "pairwise_aggregation", "lloyd_aggregation",
-    "balanced_lloyd_aggregation", "fit_candidates",
+    "balanced_lloyd_aggregation", "metis_aggregation", "fit_candidates",
     "jacobi_prolongation_smoother", "richardson_prolongation_smoother",
 ]

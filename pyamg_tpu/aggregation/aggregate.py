@@ -276,6 +276,23 @@ def balanced_lloyd_aggregation(C: ELL, num_clusters=None, maxiter=5, seed=0):
                               C.vals.dtype), centers
 
 
+def metis_aggregation(C: ELL, ratio=0.03, seed=0):
+    """METIS-based aggregation (reference ``aggregate.py:563``).
+
+    Partitions the strength graph into ``ratio * n`` parts via pymetis
+    when installed; otherwise falls back to balanced-Lloyd clustering,
+    which has comparable balance properties (see ``graph.metis_partition``).
+    """
+    from pyamg_tpu.graph import metis_partition
+    n = C.shape[0]
+    nparts = max(1, int(ratio * n))
+    data = jnp.where(C.valid_mask(), 1.0, 0.0)
+    G = ELL(C.cols, data, C.row_nnz, C.shape)
+    parts = np.asarray(metis_partition(G, nparts, seed=seed))
+    nagg = int(parts.max()) + 1
+    return _aggop_from_labels(jnp.asarray(parts), nagg, C.vals.dtype), None
+
+
 def grid_aggregation(C: ELL, ratio=3, grid=None):
     """Tile a tensor grid into ``ratio``-sized box aggregates.
 
@@ -331,6 +348,8 @@ def aggregate_dispatch(C, spec, seed=0):
         return lloyd_aggregation(C, seed=seed, **opts)
     if name == "balanced lloyd":
         return balanced_lloyd_aggregation(C, seed=seed, **opts)
+    if name == "metis":
+        return metis_aggregation(C, seed=seed, **opts)
     if name == "predefined":
         return opts["AggOp"], opts.get("Cpts")
     raise ValueError(f"unrecognized aggregation method {name!r}")

@@ -307,6 +307,72 @@ def block_gauss_seidel(A, x, b, iterations=1, sweep="forward", Dinv=None,
     return x
 
 
+def block_jacobi_indexed(A, x, b, indices, Dinv=None, iterations=1,
+                         omega=1.0):
+    """Block Jacobi restricted to a set of block rows
+    (reference ``relaxation.h:1130``).
+
+    ``indices`` are block-row indices (supernodes) or a boolean mask over
+    block rows; only those blocks are updated."""
+    from pyamg_tpu.util.linalg import pinv_array
+    assert isinstance(A, BELL)
+    br = A.blocksize[0]
+    nb = A.n_block_rows
+    if Dinv is None:
+        Dinv = pinv_array(extract_block_diagonal(A))
+    host = is_concrete(x, b, Dinv, indices)
+    xp = np if host else jnp
+    if host:
+        x, b, Dinv = np.asarray(x), np.asarray(b), np.asarray(Dinv)
+        indices = np.asarray(indices)
+    if indices.dtype == bool:
+        mask = indices
+    elif host:
+        mask = np.zeros((nb,), bool)
+        mask[indices] = True
+    else:
+        mask = jnp.zeros((nb,), bool).at[indices].set(True)
+    multi = x.ndim == 2
+    for _ in range(iterations):
+        r = b - matvec(A, x)
+        if multi:
+            rb = r.reshape(nb, br, -1)
+            dx = xp.einsum("nij,njk->nik", Dinv, rb)
+            dx = xp.where(mask[:, None, None], dx, 0).reshape(x.shape)
+        else:
+            rb = r.reshape(nb, br)
+            dx = xp.einsum("nij,nj->ni", Dinv, rb)
+            dx = xp.where(mask[:, None], dx, 0).reshape(-1)
+        x = x + omega * dx
+    return x
+
+
+def cf_block_jacobi(A, x, b, Cpts, Fpts, Dinv=None, iterations=1,
+                    f_iterations=1, c_iterations=1, omega=1.0):
+    """CF block Jacobi: relax C blocks, then F blocks
+    (reference ``relaxation.py:1271``).  Cpts/Fpts are block-row indices."""
+    from pyamg_tpu.util.linalg import pinv_array
+    if Dinv is None:
+        Dinv = pinv_array(extract_block_diagonal(A))
+    for _ in range(iterations):
+        x = block_jacobi_indexed(A, x, b, Cpts, Dinv, c_iterations, omega)
+        x = block_jacobi_indexed(A, x, b, Fpts, Dinv, f_iterations, omega)
+    return x
+
+
+def fc_block_jacobi(A, x, b, Cpts, Fpts, Dinv=None, iterations=1,
+                    f_iterations=1, c_iterations=1, omega=1.0):
+    """FC block Jacobi: relax F blocks, then C blocks
+    (reference ``relaxation.py:1342``)."""
+    from pyamg_tpu.util.linalg import pinv_array
+    if Dinv is None:
+        Dinv = pinv_array(extract_block_diagonal(A))
+    for _ in range(iterations):
+        x = block_jacobi_indexed(A, x, b, Fpts, Dinv, f_iterations, omega)
+        x = block_jacobi_indexed(A, x, b, Cpts, Dinv, c_iterations, omega)
+    return x
+
+
 # ---------------------------------------------------------------------------
 # Kaczmarz / normal-equation smoothers
 # ---------------------------------------------------------------------------

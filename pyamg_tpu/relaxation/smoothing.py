@@ -192,6 +192,33 @@ def setup_fc_jacobi(level, A, opts):
     return ("fc_jacobi", sopts, params)
 
 
+def setup_cf_block_jacobi(level, A, opts):
+    """CF block Jacobi (reference ``smoothing.py`` setup_cf_block_jacobi).
+
+    Falls back to scalar cf_jacobi when A is not blocked."""
+    from pyamg_tpu.util.linalg import pinv_array
+    if not isinstance(A, BELL):
+        return setup_cf_jacobi(level, A, opts)
+    sopts = {"iterations": int(opts.get("iterations", 1)),
+             "f_iterations": int(opts.get("f_iterations", 1)),
+             "c_iterations": int(opts.get("c_iterations", 1))}
+    split = np.asarray(level.splitting)
+    nb = A.n_block_rows
+    if split.shape[0] != nb:           # per-dof splitting -> per-block
+        split = split.reshape(nb, -1)[:, 0]
+    Dinv = pinv_array(extract_block_diagonal(A))
+    return ("cf_block_jacobi", sopts,
+            {"Cmask": jnp.asarray(split == 1),
+             "Fmask": jnp.asarray(split == 0),
+             "omega": float(opts.get("omega", 1.0)), "Dinv": Dinv})
+
+
+def setup_fc_block_jacobi(level, A, opts):
+    kind, sopts, params = setup_cf_block_jacobi(level, A, opts)
+    return (kind.replace("cf_", "fc_") if kind.startswith("cf_block")
+            else "fc_jacobi", sopts, params)
+
+
 def setup_schwarz(level, A, opts):
     # Subdomains: default = each row's stencil neighborhood
     # (reference schwarz_parameters relaxation.py:1002)
@@ -231,6 +258,8 @@ _SETUPS = {
     "block_gauss_seidel": setup_block_gauss_seidel,
     "cf_jacobi": setup_cf_jacobi,
     "fc_jacobi": setup_fc_jacobi,
+    "cf_block_jacobi": setup_cf_block_jacobi,
+    "fc_block_jacobi": setup_fc_block_jacobi,
     "schwarz": setup_schwarz,
     "gmres": setup_gmres,
     "cg": setup_cg,
@@ -354,6 +383,20 @@ def apply_smoother(kind, sopts, params, A, x, b):
                             f_iterations=sopts["f_iterations"],
                             c_iterations=sopts["c_iterations"],
                             omega=params["omega"])
+    if kind == "cf_block_jacobi":
+        return rx.cf_block_jacobi(A, x, b, params["Cmask"], params["Fmask"],
+                                  Dinv=params["Dinv"],
+                                  iterations=sopts["iterations"],
+                                  f_iterations=sopts["f_iterations"],
+                                  c_iterations=sopts["c_iterations"],
+                                  omega=params["omega"])
+    if kind == "fc_block_jacobi":
+        return rx.fc_block_jacobi(A, x, b, params["Cmask"], params["Fmask"],
+                                  Dinv=params["Dinv"],
+                                  iterations=sopts["iterations"],
+                                  f_iterations=sopts["f_iterations"],
+                                  c_iterations=sopts["c_iterations"],
+                                  omega=params["omega"])
     if kind == "schwarz":
         return rx.schwarz(A, x, b, params["subdomain"],
                           iterations=sopts["iterations"])

@@ -42,6 +42,27 @@ class TestAggregationValidity:
         AggOp, Cpts = naive_aggregation(C)
         assert int(jnp.sum(AggOp.row_nnz)) == 225
 
+    def test_metis_aggregation_covers(self):
+        # runs pymetis when installed, balanced-Lloyd fallback otherwise
+        from pyamg_tpu.aggregation import metis_aggregation
+        A = poisson((15, 15))
+        C = symmetric_strength_of_connection(A)
+        AggOp, _ = metis_aggregation(C, ratio=0.1)
+        assert int(jnp.sum(AggOp.row_nnz)) == 225
+        labels = np.asarray(AggOp.cols[:, 0])
+        assert len(np.unique(labels)) == AggOp.shape[1]
+
+    def test_metis_sa_solver_converges(self):
+        from pyamg_tpu.aggregation import smoothed_aggregation_solver
+        A = poisson((20, 20))
+        ml = smoothed_aggregation_solver(A, aggregate=("metis", {}),
+                                         max_coarse=20)
+        rng = np.random.default_rng(7)
+        b = jnp.asarray(rng.standard_normal(400))
+        res = []
+        ml.solve(b, maxiter=20, tol=1e-10, residuals=res)
+        assert conv_factor(res) < 0.6
+
 
 class TestFitCandidates:
     def test_single_candidate(self):

@@ -191,6 +191,47 @@ class TestBlockSmoothers:
             gold[2*i:2*i+2] += np.linalg.solve(Dblk, r[2*i:2*i+2])
         np.testing.assert_allclose(np.asarray(got), gold, rtol=1e-11)
 
+    def test_block_jacobi_indexed_gold(self):
+        A = sp.bsr_matrix(poisson((20,), format="csr"), blocksize=(2, 2))
+        rng = np.random.default_rng(14)
+        x = rng.standard_normal(20)
+        b = rng.standard_normal(20)
+        idx = np.array([0, 2, 5, 7])
+        got = rx.block_jacobi_indexed(bell_from_scipy(A), jnp.asarray(x),
+                                      jnp.asarray(b), jnp.asarray(idx))
+        Ad = A.toarray()
+        r = b - Ad @ x
+        gold = x.copy()
+        for i in idx:
+            Dblk = Ad[2*i:2*i+2, 2*i:2*i+2]
+            gold[2*i:2*i+2] += np.linalg.solve(Dblk, r[2*i:2*i+2])
+        np.testing.assert_allclose(np.asarray(got), gold, rtol=1e-11)
+
+    def test_cf_fc_block_jacobi_gold(self):
+        A = sp.bsr_matrix(poisson((24,), format="csr"), blocksize=(2, 2))
+        Ab = bell_from_scipy(A)
+        rng = np.random.default_rng(15)
+        x = rng.standard_normal(24)
+        b = rng.standard_normal(24)
+        C = jnp.asarray(np.arange(0, 12, 2))
+        F = jnp.asarray(np.arange(1, 12, 2))
+
+        def masked_bj(x, idx):
+            Ad = A.toarray()
+            r = b - Ad @ np.asarray(x)
+            out = np.asarray(x).copy()
+            for i in np.asarray(idx):
+                Dblk = Ad[2*i:2*i+2, 2*i:2*i+2]
+                out[2*i:2*i+2] += np.linalg.solve(Dblk, r[2*i:2*i+2])
+            return out
+
+        got = rx.cf_block_jacobi(Ab, jnp.asarray(x), jnp.asarray(b), C, F)
+        gold = masked_bj(masked_bj(x, C), F)
+        np.testing.assert_allclose(np.asarray(got), gold, rtol=1e-11)
+        got = rx.fc_block_jacobi(Ab, jnp.asarray(x), jnp.asarray(b), C, F)
+        gold = masked_bj(masked_bj(x, F), C)
+        np.testing.assert_allclose(np.asarray(got), gold, rtol=1e-11)
+
     def test_block_gauss_seidel_reduces(self):
         A = sp.bsr_matrix(poisson((30,), format="csr"), blocksize=(2, 2))
         Ab = bell_from_scipy(A)
