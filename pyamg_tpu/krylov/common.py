@@ -72,6 +72,16 @@ def finalize(residuals, resbuf, nres):
         residuals[:] = [float(v) for v in buf[:k]]
 
 
+def real_dtype(dtype):
+    """The real dtype residual norms live in for value dtype ``dtype``.
+
+    Using the value dtype's real twin (not hardcoded f64) keeps the jitted
+    loops warning-free when x64 is disabled (the perf path) while still
+    giving f64 histories under ``jax_enable_x64`` (the correctness tier).
+    """
+    return jnp.zeros((), dtype).real.dtype
+
+
 def dot(a, b):
     """<conj(a), b> (complex-safe)."""
     return jnp.vdot(a, b)

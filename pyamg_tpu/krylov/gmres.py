@@ -8,8 +8,11 @@ TPU design: the reference's modified Gram-Schmidt is a sequential
 j-step dot/axpy chain; here each Arnoldi step orthogonalizes with
 *classical Gram-Schmidt applied twice* (CGS2) — two (R+1, n) matmuls on
 the MXU, numerically as robust as MGS (Giraud et al. 2005) and vastly
-faster on wide vectors.  The whole restart cycle runs in one jitted
-``lax.while_loop`` with static buffers V (R+1, n) and H (R+1, R+1).
+faster on wide vectors.  The whole solve (restart cycles included) is a
+single traceable program (``gmres_loop``): an outer ``lax.while_loop``
+over restarts around an inner ``lax.while_loop`` over Arnoldi steps —
+so callers like ``MultilevelSolver`` can jit ONE cached program with the
+hierarchy pytrees as arguments instead of re-tracing per call.
 """
 
 from __future__ import annotations
@@ -19,7 +22,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from pyamg_tpu.krylov.common import as_matvec, as_precond, prepare, norm
+from pyamg_tpu.krylov.common import (as_matvec, as_precond, prepare, norm,
+                                     real_dtype)
 
 
 def _givens(a, b):
@@ -37,94 +41,145 @@ def _givens(a, b):
     return c, s, jnp.where(safe, rr, a)
 
 
-def _gmres_cycle(mv, Mv, b, x0, R, rtol, flexible):
-    """One restart cycle, jitted. Returns (x, normr, resbuf, niters)."""
+def _cycle(mv, Mv, b, x, R, rtol, flexible):
+    """One traceable restart cycle.
+
+    Returns ``(xn, normr, j, cycres)`` where ``cycres`` is the (R,) buffer
+    of per-inner-iteration preconditioned residual norms (|g[j+1]| — the
+    implicit norms the reference records, ``_gmres_mgs.py``) with entries
+    past ``j`` zeroed.
+    """
     n = b.shape[0]
     dtype = b.dtype
+    rdt = real_dtype(dtype)
 
-    def cycle(x):
-        r0 = b - mv(x)
-        r = Mv(r0) if not flexible else r0
-        beta = norm(r)
-        V = jnp.zeros((R + 1, n), dtype)
-        Z = jnp.zeros((R + 1, n), dtype) if flexible else V
-        V = V.at[0].set(jnp.where(beta > 0, (r / jnp.where(beta == 0, 1, beta)).astype(dtype), 0))
-        H = jnp.zeros((R + 1, R + 1), dtype)
-        cs = jnp.ones((R + 1,), jnp.float64)
-        sn = jnp.zeros((R + 1,), dtype)
-        g = jnp.zeros((R + 1,), dtype).at[0].set(beta.astype(dtype))
-        resbuf = jnp.zeros((R + 1,), jnp.float64)
+    r0 = b - mv(x)
+    r = Mv(r0) if not flexible else r0
+    beta = norm(r)
+    V = jnp.zeros((R + 1, n), dtype)
+    Z = jnp.zeros((R + 1, n), dtype) if flexible else V
+    V = V.at[0].set(jnp.where(
+        beta > 0, (r / jnp.where(beta == 0, 1, beta)).astype(dtype), 0))
+    H = jnp.zeros((R + 1, R + 1), dtype)
+    cs = jnp.ones((R + 1,), rdt)
+    sn = jnp.zeros((R + 1,), dtype)
+    g = jnp.zeros((R + 1,), dtype).at[0].set(beta.astype(dtype))
+    cycres = jnp.zeros((R,), rdt)
 
-        def cond(st):
-            V, Z, H, cs, sn, g, j, done = st
-            return (~done) & (j < R)
+    def cond(st):
+        V, Z, H, cs, sn, g, cycres, j, done = st
+        return (~done) & (j < R)
 
-        def body(st):
-            V, Z, H, cs, sn, g, j, done = st
-            vj = V[j]
-            if flexible:
-                zj = Mv(vj)
-                Z2 = Z.at[j].set(zj)
-                w = mv(zj)
-            else:
-                Z2 = Z
-                w = Mv(mv(vj))
-            # CGS2 against rows 0..j (rows > j are zero)
-            mask = (jnp.arange(R + 1) <= j).astype(dtype)
-            h1 = (jnp.conj(V) @ w) * mask
-            w = w - V.T @ h1
-            h2 = (jnp.conj(V) @ w) * mask
-            w = w - V.T @ h2
-            h = h1 + h2
-            wnorm = norm(w)
-            Hcol = h.at[j + 1].set(wnorm.astype(dtype))
-            Vn = V.at[j + 1].set(
-                jnp.where(wnorm > 1e-300,
-                          (w / jnp.where(wnorm == 0, 1, wnorm)).astype(dtype),
-                          0))
+    def body(st):
+        V, Z, H, cs, sn, g, cycres, j, done = st
+        vj = V[j]
+        if flexible:
+            zj = Mv(vj)
+            Z2 = Z.at[j].set(zj)
+            w = mv(zj)
+        else:
+            Z2 = Z
+            w = Mv(mv(vj))
+        # CGS2 against rows 0..j (rows > j are zero)
+        mask = (jnp.arange(R + 1) <= j).astype(dtype)
+        h1 = (jnp.conj(V) @ w) * mask
+        w = w - V.T @ h1
+        h2 = (jnp.conj(V) @ w) * mask
+        w = w - V.T @ h2
+        h = h1 + h2
+        wnorm = norm(w)
+        Hcol = h.at[j + 1].set(wnorm.astype(dtype))
+        Vn = V.at[j + 1].set(
+            jnp.where(wnorm > 1e-300,
+                      (w / jnp.where(wnorm == 0, 1, wnorm)).astype(dtype),
+                      0))
 
-            # apply existing rotations to the new column
-            def rot_body(i, col):
-                hi = col[i]
-                hi1 = col[i + 1]
-                ci = cs[i]
-                si = sn[i]
-                new_i = ci * hi + si * hi1
-                new_i1 = -jnp.conj(si) * hi + ci * hi1
-                col = col.at[i].set(new_i.astype(dtype))
-                return col.at[i + 1].set(new_i1.astype(dtype))
+        # apply existing rotations to the new column
+        def rot_body(i, col):
+            hi = col[i]
+            hi1 = col[i + 1]
+            ci = cs[i]
+            si = sn[i]
+            new_i = ci * hi + si * hi1
+            new_i1 = -jnp.conj(si) * hi + ci * hi1
+            col = col.at[i].set(new_i.astype(dtype))
+            return col.at[i + 1].set(new_i1.astype(dtype))
 
-            Hcol = lax.fori_loop(0, j, rot_body, Hcol)
-            c, s, rr = _givens(Hcol[j], Hcol[j + 1])
-            Hcol = Hcol.at[j].set(rr.astype(dtype)).at[j + 1].set(0)
-            csn = cs.at[j].set(jnp.real(c).astype(jnp.float64))
-            snn = sn.at[j].set(s.astype(dtype))
-            gj = g[j]
-            gn = g.at[j].set((c * gj).astype(dtype)) \
-                 .at[j + 1].set((-jnp.conj(s) * gj).astype(dtype))
-            Hn = H.at[:, j].set(Hcol)
-            normr = jnp.abs(gn[j + 1])
-            done2 = (normr < rtol) | (wnorm <= 1e-300)
-            return Vn, Z2, Hn, csn, snn, gn, j + 1, done2
+        Hcol = lax.fori_loop(0, j, rot_body, Hcol)
+        c, s, rr = _givens(Hcol[j], Hcol[j + 1])
+        Hcol = Hcol.at[j].set(rr.astype(dtype)).at[j + 1].set(0)
+        csn = cs.at[j].set(jnp.real(c).astype(rdt))
+        snn = sn.at[j].set(s.astype(dtype))
+        gj = g[j]
+        gn = g.at[j].set((c * gj).astype(dtype)) \
+             .at[j + 1].set((-jnp.conj(s) * gj).astype(dtype))
+        Hn = H.at[:, j].set(Hcol)
+        normr = jnp.abs(gn[j + 1])
+        cyn = cycres.at[j].set(normr.astype(rdt))
+        done2 = (normr < rtol) | (wnorm <= 1e-300)
+        return Vn, Z2, Hn, csn, snn, gn, cyn, j + 1, done2
 
-        init = (V, Z, H, cs, sn, g, jnp.int32(0), beta < rtol)
-        V, Z, H, cs, sn, g, j, done = lax.while_loop(cond, body, init)
+    init = (V, Z, H, cs, sn, g, cycres, jnp.int32(0), beta < rtol)
+    V, Z, H, cs, sn, g, cycres, j, done = lax.while_loop(cond, body, init)
 
-        # solve the j x j triangular system (padded: unit diagonal elsewhere)
-        idx = jnp.arange(R + 1)
-        active = idx < j
-        Hs = jnp.where(active[None, :] & active[:, None], H,
-                       jnp.eye(R + 1, dtype=dtype))
-        gs = jnp.where(active, g, 0)
-        y = jax.scipy.linalg.solve_triangular(Hs, gs, lower=False)
-        # left GMRES: x += V y (V spans the M*A Krylov space);
-        # FGMRES: x += Z y (Z holds the preconditioned directions)
-        basis = Z if flexible else V
-        xn = x + basis.T @ jnp.where(active, y, 0)
-        normr = jnp.abs(g[j])
-        return xn, normr, j
+    # solve the j x j triangular system (padded: unit diagonal elsewhere)
+    idx = jnp.arange(R + 1)
+    active = idx < j
+    Hs = jnp.where(active[None, :] & active[:, None], H,
+                   jnp.eye(R + 1, dtype=dtype))
+    gs = jnp.where(active, g, 0)
+    y = jax.scipy.linalg.solve_triangular(Hs, gs, lower=False)
+    # left GMRES: x += V y (V spans the M*A Krylov space);
+    # FGMRES: x += Z y (Z holds the preconditioned directions)
+    basis = Z if flexible else V
+    xn = x + basis.T @ jnp.where(active, y, 0)
+    normr = jnp.abs(g[j])
+    return xn, normr, j, cycres
 
-    return jax.jit(cycle)
+
+def gmres_loop(mv, Mv, x, b, tol, R, max_outer, flexible=False):
+    """Traceable restarted-GMRES solve: (x, info, resbuf, nres).
+
+    Factored out (like ``cg_loop``) so ``MultilevelSolver.solve`` can jit
+    ONE cached program with the hierarchy pytrees as arguments — building
+    a fresh jit per call costs minutes of retracing on deep hierarchies.
+
+    ``resbuf`` collects the per-inner-iteration *preconditioned* residual
+    norms (reference semantics, ``_gmres_mgs.py``); entry 0 is the initial
+    preconditioned residual.
+    """
+    rdt = real_dtype(b.dtype)
+    normMb = norm(Mv(b)) if not flexible else norm(b)
+    normMb = jnp.where(normMb == 0, 1.0, normMb)
+    rtol = (tol * normMb).astype(rdt)
+    r0 = b - mv(x)
+    pr0 = Mv(r0) if not flexible else r0
+    npr0 = norm(pr0)
+    nbuf = max_outer * R + 1
+    resbuf = jnp.zeros((nbuf,), rdt).at[0].set(npr0.astype(rdt))
+
+    def cond(st):
+        x, it, outer, nres, resbuf, done = st
+        return (~done) & (outer < max_outer)
+
+    def body(st):
+        x, it, outer, nres, resbuf, done = st
+        xn, normr, j, cycres = _cycle(mv, Mv, b, x, R, rtol, flexible)
+        # entries past j are zero; they land beyond nres+j and are either
+        # overwritten next cycle or ignored by the nres count
+        resbuf = lax.dynamic_update_slice(resbuf, cycres.astype(rdt),
+                                          (nres,))
+        stalled = j == 0
+        return (xn, it + j, outer + 1, nres + j, resbuf,
+                (normr < rtol) | stalled)
+
+    x, it, outer, nres, resbuf, done = lax.while_loop(
+        cond, body, (x, jnp.int32(0), jnp.int32(0), jnp.int32(1), resbuf,
+                     npr0 < rtol))
+    # info: 0 on convergence, iteration count otherwise (reference contract)
+    final = norm(Mv(b - mv(x))) if not flexible else norm(b - mv(x))
+    info = jnp.where(final < rtol, 0, it)
+    return x, info, resbuf, nres
 
 
 def _gmres_driver(A, b, x0, tol, restart, maxiter, M, callback, residuals,
@@ -138,29 +193,33 @@ def _gmres_driver(A, b, x0, tol, restart, maxiter, M, callback, residuals,
         R = min(int(restart), n)
         max_outer = maxiter if maxiter is not None else max(1, min(
             10000 // max(R, 1), 100))
-    normb = float(norm(b))
-    if normb == 0.0:
-        normMb = 1.0
-    else:
-        normMb = float(norm(Mv(b))) if not flexible else normb
+
+    if callback is None:
+        run = jax.jit(lambda x, b: gmres_loop(mv, Mv, x, b, tol, R,
+                                              max_outer, flexible))
+        x, info, resbuf, nres = run(x, b)
+        if residuals is not None:
+            k = int(nres)
+            residuals[:] = [float(v) for v in np.asarray(resbuf)[:k]]
+        return x, int(info)
+
+    # host loop over jitted cycles so the callback fires per restart
+    normMb = float(norm(Mv(b))) if not flexible else float(norm(b))
+    rtol = tol * (normMb if normMb != 0 else 1.0)
     r0 = b - mv(x)
     pr0 = Mv(r0) if not flexible else r0
     if residuals is not None:
         residuals[:] = [float(norm(pr0))]
-    rtol = tol * normMb
     if float(norm(pr0)) < rtol:
         return x, 0
-    cycle = _gmres_cycle(mv, Mv, b, x, R, rtol, flexible)
+    cycle = jax.jit(lambda x: _cycle(mv, Mv, b, x, R, rtol, flexible))
     it_total = 0
     for _outer in range(max_outer):
-        x, normr, j = cycle(x)
+        x, normr, j, cycres = cycle(x)
         it_total += int(j)
         if residuals is not None:
-            # per-cycle end preconditioned residual (implicit norm)
-            rr = Mv(b - mv(x)) if not flexible else b - mv(x)
-            residuals.append(float(norm(rr)))
-        if callback is not None:
-            callback(x)
+            residuals.extend(float(v) for v in np.asarray(cycres)[:int(j)])
+        callback(x)
         if float(normr) < rtol:
             rr = Mv(b - mv(x)) if not flexible else b - mv(x)
             if float(norm(rr)) < rtol:
@@ -182,10 +241,14 @@ def gmres_mgs(A, b, x0=None, tol=1e-5, restart=None, maxiter=None, M=None,
 
 def gmres_householder(A, b, x0=None, tol=1e-5, restart=None, maxiter=None,
                       M=None, callback=None, residuals=None, restrt=None):
-    """Householder-GMRES API parity (reference ``_gmres_householder.py``).
+    """Householder-GMRES (reference ``_gmres_householder.py``).
 
-    On TPU the CGS2 Arnoldi already delivers Householder-class stability at
-    matmul speed, so this dispatches to the same cycle kernel.
+    The reference zeroes each Arnoldi vector's trailing entries with exact
+    Householder reflectors (``amg_core/krylov.h:38,107``).  On TPU that
+    per-entry reflector chain is sequential and gather-bound, so this runs
+    the same matmul-shaped CGS2 Arnoldi cycle — which delivers
+    Householder-class orthogonality (see ``tests/test_krylov.py``
+    ill-conditioned parity case) at MXU speed.
     """
     return gmres_mgs(A, b, x0=x0, tol=tol, restart=restart, maxiter=maxiter,
                      M=M, callback=callback, residuals=residuals,

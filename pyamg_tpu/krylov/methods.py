@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from pyamg_tpu.krylov.common import (
-    as_matvec, as_precond, prepare, finalize, dot, norm)
+    as_matvec, as_precond, prepare, finalize, dot, norm, real_dtype)
 
 
 def _rtol_const(criteria, tol, normb, normMb, fro, x0norm):
@@ -45,8 +45,8 @@ def cg_loop(mv, Mv, x, b, tol, criteria, maxiter, fro=1.0):
     rz = jnp.real(dot(r, z))
     normr0 = norm(r) if criteria != "MrMr" else norm(z)
     rtol = _rtol_const(criteria, tol, normb, normMb, fro, norm(x))
-    resbuf = jnp.zeros((maxiter + 1,), jnp.float64).at[0].set(
-        norm(r).astype(jnp.float64))
+    resbuf = jnp.zeros((maxiter + 1,), real_dtype(b.dtype))
+    resbuf = resbuf.at[0].set(norm(r).astype(resbuf.dtype))
 
     def cond(st):
         x, r, z, p, rz, it, resbuf, done, info = st
@@ -75,7 +75,7 @@ def cg_loop(mv, Mv, x, b, tol, criteria, maxiter, fro=1.0):
             normr = jnp.sqrt(jnp.maximum(rzn, 0.0))
         else:
             normr = norm(rn)
-        resbuf = resbuf.at[itn].set(norm(rn).astype(jnp.float64))
+        resbuf = resbuf.at[itn].set(norm(rn).astype(resbuf.dtype))
         conv = normr < rtol
         done = conv | bad_A | bad_M
         info = jnp.where(bad_A | bad_M, -1,
@@ -153,8 +153,8 @@ def bicgstab(A, b, x0=None, tol=1e-5, criteria="rr", maxiter=None, M=None,
         p = r
         rrstar = dot(rstar, r)
         rtol = tol * normb
-        resbuf = jnp.zeros((maxiter + 1,), jnp.float64).at[0].set(
-            norm(r).astype(jnp.float64))
+        resbuf = jnp.zeros((maxiter + 1,), real_dtype(b.dtype))
+        resbuf = resbuf.at[0].set(norm(r).astype(resbuf.dtype))
 
         def cond(st):
             x, r, p, rrstar, it, resbuf, done, info = st
@@ -179,7 +179,7 @@ def bicgstab(A, b, x0=None, tol=1e-5, criteria="rr", maxiter=None, M=None,
             pn = rn + beta * (p - omega * AMp)
             itn = it + 1
             nr = norm(rn)
-            resbuf = resbuf.at[itn].set(nr.astype(jnp.float64))
+            resbuf = resbuf.at[itn].set(nr.astype(resbuf.dtype))
             conv = nr < rtol
             brk = (denom == 0) | (omega == 0)
             info = jnp.where(brk, -1, jnp.where(conv, 0, info))
@@ -272,8 +272,8 @@ def cr(A, b, x0=None, tol=1e-5, criteria="rr", maxiter=None, M=None,
         Ap = mv(p)
         rAr = dot(r, Ar)
         rtol = tol * normb
-        resbuf = jnp.zeros((maxiter + 1,), jnp.float64).at[0].set(
-            norm(b - mv(x)).astype(jnp.float64))
+        resbuf = jnp.zeros((maxiter + 1,), real_dtype(b.dtype))
+        resbuf = resbuf.at[0].set(norm(b - mv(x)).astype(resbuf.dtype))
 
         def cond(st):
             return (~st[-2]) & (st[4] < maxiter)
@@ -292,7 +292,7 @@ def cr(A, b, x0=None, tol=1e-5, criteria="rr", maxiter=None, M=None,
             pn = rn + beta * p
             itn = it + 1
             nr = norm(b - mv(xn))
-            resbuf = resbuf.at[itn].set(nr.astype(jnp.float64))
+            resbuf = resbuf.at[itn].set(nr.astype(resbuf.dtype))
             conv = nr < rtol
             info = jnp.where(conv, 0, info)
             return xn, rn, pn, rArn, itn, resbuf, conv | (d == 0), info
@@ -335,13 +335,13 @@ def minimal_residual(A, b, x0=None, tol=1e-5, criteria="rr", maxiter=None,
             xn = x + alpha * r
             itn = it + 1
             nr = norm(b - mv(xn))
-            resbuf = resbuf.at[itn].set(nr.astype(jnp.float64))
+            resbuf = resbuf.at[itn].set(nr.astype(resbuf.dtype))
             conv = nr < rtol
             return xn, itn, resbuf, conv | (d == 0), \
                 jnp.where(conv, 0, info)
 
-        resbuf = jnp.zeros((maxiter + 1,), jnp.float64).at[0].set(
-            norm(b - mv(x)).astype(jnp.float64))
+        resbuf = jnp.zeros((maxiter + 1,), real_dtype(b.dtype))
+        resbuf = resbuf.at[0].set(norm(b - mv(x)).astype(resbuf.dtype))
         init = (x, jnp.int32(0), resbuf, norm(b - mv(x)) < rtol,
                 jnp.int32(0))
         x, it, resbuf, done, info = lax.while_loop(cond, body, init)
@@ -380,13 +380,13 @@ def steepest_descent(A, b, x0=None, tol=1e-5, criteria="rr", maxiter=None,
             xn = x + alpha * z
             itn = it + 1
             nr = norm(b - mv(xn))
-            resbuf = resbuf.at[itn].set(nr.astype(jnp.float64))
+            resbuf = resbuf.at[itn].set(nr.astype(resbuf.dtype))
             conv = nr < rtol
             return xn, itn, resbuf, conv | (d <= 0), \
                 jnp.where(conv, 0, jnp.where(d <= 0, -1, info))
 
-        resbuf = jnp.zeros((maxiter + 1,), jnp.float64).at[0].set(
-            norm(b - mv(x)).astype(jnp.float64))
+        resbuf = jnp.zeros((maxiter + 1,), real_dtype(b.dtype))
+        resbuf = resbuf.at[0].set(norm(b - mv(x)).astype(resbuf.dtype))
         init = (x, jnp.int32(0), resbuf, norm(b - mv(x)) < rtol,
                 jnp.int32(0))
         x, it, resbuf, done, info = lax.while_loop(cond, body, init)

@@ -265,23 +265,41 @@ class MultilevelSolver:
 
         return cyc_fn
 
-    def _get_accel_run(self, cycle, tol, maxiter, criteria="rr"):
-        """Jitted CG-accelerated solve (dyn, x, b) -> (x, info, resbuf, n),
-        cached on the hierarchy's static structure."""
-        key = ("accel_cg", str(cycle).upper(), float(tol), int(maxiter),
-               criteria, self._static_key(),
+    def _get_accel_run(self, accel, cycle, tol, maxiter, criteria="rr"):
+        """Jitted Krylov-accelerated solve (dyn, x, b) -> (x, info, resbuf,
+        n), cached on the hierarchy's static structure.  Supported accel:
+        'cg' (cg_loop) and 'gmres'/'fgmres' (gmres_loop) — the loop body
+        takes the hierarchy pytrees as *arguments*, so repeat solves (and
+        every iterative-refinement outer) replay one compiled program."""
+        key = ("accel_" + accel, str(cycle).upper(), float(tol),
+               int(maxiter), criteria, self._static_key(),
                self.coarse_solver.kind if not callable(self.coarse_solver.kind)
                else id(self.coarse_solver.kind))
         if key not in self._cycle_cache:
-            from pyamg_tpu.krylov.methods import cg_loop
             cyc = self._make_cycle(cycle)
             nlev = len(self.levels)
 
-            def run(dyn, x, b):
-                A0 = dyn[0][0][0] if nlev > 1 else dyn[1]
-                mv = lambda v: matvec(A0, v)
-                Mv = lambda r: cyc(dyn, jnp.zeros_like(r), r)
-                return cg_loop(mv, Mv, x, b, tol, criteria, maxiter)
+            if accel == "cg":
+                from pyamg_tpu.krylov.methods import cg_loop
+
+                def run(dyn, x, b):
+                    A0 = dyn[0][0][0] if nlev > 1 else dyn[1]
+                    mv = lambda v: matvec(A0, v)
+                    Mv = lambda r: cyc(dyn, jnp.zeros_like(r), r)
+                    return cg_loop(mv, Mv, x, b, tol, criteria, maxiter)
+            elif accel in ("gmres", "fgmres"):
+                from pyamg_tpu.krylov.gmres import gmres_loop
+                n = self.levels[0].A.shape[0]
+                R = min(n, int(maxiter))
+
+                def run(dyn, x, b):
+                    A0 = dyn[0][0][0] if nlev > 1 else dyn[1]
+                    mv = lambda v: matvec(A0, v)
+                    Mv = lambda r: cyc(dyn, jnp.zeros_like(r), r)
+                    return gmres_loop(mv, Mv, x, b, tol, R, 1,
+                                      flexible=(accel == "fgmres"))
+            else:
+                raise ValueError(accel)
 
             self._cycle_cache[key] = jax.jit(run)
         return self._cycle_cache[key]
@@ -303,8 +321,8 @@ class MultilevelSolver:
                 rtol = tol * jnp.where(normb == 0, 1.0, normb)
                 r0 = b - matvec(A0, x)
                 nr0 = jnp.sqrt(jnp.real(jnp.vdot(r0, r0)))
-                resbuf = jnp.zeros((maxiter + 1,), jnp.float64)
-                resbuf = resbuf.at[0].set(nr0.astype(jnp.float64))
+                resbuf = jnp.zeros((maxiter + 1,), nr0.dtype)
+                resbuf = resbuf.at[0].set(nr0)
 
                 def cond(st):
                     x, it, resbuf, done = st
@@ -316,7 +334,7 @@ class MultilevelSolver:
                     r = b - matvec(A0, x)
                     nr = jnp.sqrt(jnp.real(jnp.vdot(r, r)))
                     it = it + 1
-                    resbuf = resbuf.at[it].set(nr.astype(jnp.float64))
+                    resbuf = resbuf.at[it].set(nr.astype(resbuf.dtype))
                     return x, it, resbuf, nr < rtol
 
                 x, it, resbuf, done = lax.while_loop(
@@ -518,11 +536,11 @@ class MultilevelSolver:
                         "Incompatible non-symmetric multigrid preconditioner "
                         "detected, due to presmoother/postsmoother combination. "
                         "CG requires SPD preconditioner, not just SPD matrix.")
-                if accel == "cg" and callback is None:
+                if accel in ("cg", "gmres", "fgmres") and callback is None:
                     # cached one-jit path: hierarchy rides as arguments, so
                     # repeat solves skip retracing (the generic path builds
                     # a fresh jit per call and bakes dyn in as constants)
-                    run = self._get_accel_run(cycle, tol, maxiter)
+                    run = self._get_accel_run(accel, cycle, tol, maxiter)
                     from pyamg_tpu.krylov.common import finalize
                     xf, info, resbuf, nres = run(self._dyn(), x, b)
                     finalize(residuals, resbuf, nres)
