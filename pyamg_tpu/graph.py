@@ -102,12 +102,47 @@ def _jp_round(cols, mask, color, keys, maxdeg):
     return jnp.where(winner, avail, color)
 
 
+def _vertex_coloring_host(G: ELL, method, seed):
+    """numpy twin of the JP/LDF rounds (setup phase runs entirely on the
+    host: each eager device dispatch costs ~ms over the accelerator
+    tunnel and each distinct shape a fresh XLA compile)."""
+    n = G.shape[0]
+    cols = np.asarray(G.cols)
+    rows = np.arange(n, dtype=np.int32)[:, None]
+    mask = np.asarray(G.valid_mask()) & (cols != rows)
+    maxdeg = int(G.width)
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n).astype(np.float64)
+    if method in ("LDF", "ldf"):
+        keys = mask.sum(axis=1).astype(np.float64) * n + perm
+    else:
+        keys = perm
+    color = np.full((n,), -1, np.int32)
+    cand = np.arange(maxdeg + 1, dtype=np.int32)
+    it = 0
+    while (color < 0).any():
+        uncolored = color < 0
+        nk = np.where(uncolored[cols] & mask, keys[cols], -np.inf)
+        winner = uncolored & (keys > nk.max(axis=1))
+        ncol = np.where(mask, color[cols], -1)
+        used = (ncol[:, :, None] == cand[None, None, :]).any(axis=1)
+        avail = used.argmin(axis=1).astype(np.int32)
+        color = np.where(winner, avail, color)
+        it += 1
+        if it > n + 2:
+            raise RuntimeError("coloring failed to converge")
+    return color
+
+
 def vertex_coloring(G: ELL, method="JP", seed=0):
     """Greedy parallel graph coloring; returns int32 colors (>= 0).
 
     'JP' uses random weights; 'LDF' (largest degree first) biases by degree.
     Parity: reference ``graph.py:84`` / ``graph.h:297,351``.
     """
+    from pyamg_tpu.sparse.matrix import is_concrete
+    if is_concrete(G.cols, G.vals):
+        return _vertex_coloring_host(G, method, seed)
     n = G.shape[0]
     cols, mask = _neighbors(G)
     maxdeg = int(G.width)

@@ -67,11 +67,11 @@ def _cycle(mv, Mv, b, x, R, rtol, flexible):
     cycres = jnp.zeros((R,), rdt)
 
     def cond(st):
-        V, Z, H, cs, sn, g, cycres, j, done = st
+        V, Z, H, cs, sn, g, cycres, j, done, stall = st
         return (~done) & (j < R)
 
     def body(st):
-        V, Z, H, cs, sn, g, cycres, j, done = st
+        V, Z, H, cs, sn, g, cycres, j, done, stall = st
         vj = V[j]
         if flexible:
             zj = Mv(vj)
@@ -116,11 +116,18 @@ def _cycle(mv, Mv, b, x, R, rtol, flexible):
         Hn = H.at[:, j].set(Hcol)
         normr = jnp.abs(gn[j + 1])
         cyn = cycres.at[j].set(normr.astype(rdt))
-        done2 = (normr < rtol) | (wnorm <= 1e-300)
-        return Vn, Z2, Hn, csn, snn, gn, cyn, j + 1, done2
+        # f32 stall guard: the implicit norm is non-increasing, so no
+        # meaningful drop over several steps means the rounding floor
+        prev = jnp.where(j > 0, cycres[jnp.maximum(j - 1, 0)],
+                         beta.astype(rdt))
+        stall2 = jnp.where(normr > 0.999 * prev, stall + 1, 0)
+        done2 = (normr < rtol) | (wnorm <= 1e-300) | (stall2 >= 4)
+        return Vn, Z2, Hn, csn, snn, gn, cyn, j + 1, done2, stall2
 
-    init = (V, Z, H, cs, sn, g, cycres, jnp.int32(0), beta < rtol)
-    V, Z, H, cs, sn, g, cycres, j, done = lax.while_loop(cond, body, init)
+    init = (V, Z, H, cs, sn, g, cycres, jnp.int32(0), beta < rtol,
+            jnp.int32(0))
+    V, Z, H, cs, sn, g, cycres, j, done, _ = lax.while_loop(
+        cond, body, init)
 
     # solve the j x j triangular system (padded: unit diagonal elsewhere)
     idx = jnp.arange(R + 1)

@@ -29,12 +29,19 @@ def _rtol_const(criteria, tol, normb, normMb, fro, x0norm):
     raise ValueError(f"invalid stopping criteria {criteria!r}")
 
 
-def cg_loop(mv, Mv, x, b, tol, criteria, maxiter, fro=1.0):
+def cg_loop(mv, Mv, x, b, tol, criteria, maxiter, fro=1.0,
+            stall_window=8):
     """Traceable preconditioned-CG loop: (x, info, resbuf, nres).
 
     Factored out so callers (``MultilevelSolver.solve``) can jit ONE
     cached program with the operator pytrees as *arguments* — re-jitting
     per call (and baking the hierarchy in as constants) costs seconds.
+
+    ``stall_window``: stop early when the running-minimum residual has
+    not improved by ≥1% for this many iterations.  f32 CG hits its
+    rounding floor (~eps32·√cond·‖b‖) well before tight tolerances;
+    without this, tight-tol inner solves (iterative refinement) burn the
+    full ``maxiter`` making no progress.  Set 0 to disable.
     """
     normb = norm(b)
     normb = jnp.where(normb == 0, 1.0, normb)
@@ -49,11 +56,11 @@ def cg_loop(mv, Mv, x, b, tol, criteria, maxiter, fro=1.0):
     resbuf = resbuf.at[0].set(norm(r).astype(resbuf.dtype))
 
     def cond(st):
-        x, r, z, p, rz, it, resbuf, done, info = st
+        (x, r, z, p, rz, it, resbuf, done, info, minr, imp_it, xb) = st
         return (~done) & (it < maxiter)
 
     def body(st):
-        x, r, z, p, rz, it, resbuf, done, info = st
+        (x, r, z, p, rz, it, resbuf, done, info, minr, imp_it, xb) = st
         Ap = mv(p)
         pAp = jnp.real(dot(Ap, p))
         bad_A = pAp <= 0.0
@@ -77,18 +84,34 @@ def cg_loop(mv, Mv, x, b, tol, criteria, maxiter, fro=1.0):
             normr = norm(rn)
         resbuf = resbuf.at[itn].set(norm(rn).astype(resbuf.dtype))
         conv = normr < rtol
-        done = conv | bad_A | bad_M
+        # track the best iterate: the 2-norm residual is non-monotone in
+        # (preconditioned) CG, and the stall cutoff below may fire at a
+        # local bump — returning the best-seen x keeps outer iterative
+        # refinement monotone
+        better = normr < minr
+        xb = jnp.where(better, xn, xb)
+        improved = normr < 0.99 * minr
+        minr = jnp.where(better, normr, minr)
+        imp_it = jnp.where(improved, itn, imp_it)
+        # only call it a stall once real progress has happened: CG's
+        # 2-norm residual can grow transiently by ~5x on ill-conditioned
+        # systems before converging (it minimizes the A-norm), and the
+        # plateau this targets is the f32 floor at the END of convergence
+        stalled = (stall_window > 0) & (itn - imp_it >= stall_window) & \
+            (minr < 0.1 * normr0)
+        done = conv | bad_A | bad_M | stalled
         info = jnp.where(bad_A | bad_M, -1,
                          jnp.where(conv, 0, info))
         return (jnp.where(bad_A, x, xn), rn, zn, pn, rzn, itn,
-                resbuf, done, info)
+                resbuf, done, info, minr, imp_it, xb)
 
     init = (x, r, z, p, rz, jnp.int32(0), resbuf, normr0 < rtol,
-            jnp.int32(0))
-    x, r, z, p, rz, it, resbuf, done, info = lax.while_loop(
-        cond, body, init)
+            jnp.int32(0), normr0.astype(real_dtype(b.dtype)),
+            jnp.int32(0), x)
+    (x, r, z, p, rz, it, resbuf, done, info, minr, imp_it, xb) = \
+        lax.while_loop(cond, body, init)
     info = jnp.where((info == 0) & (it >= maxiter) & ~done, it, info)
-    return x, info, resbuf, it + 1
+    return xb, info, resbuf, it + 1
 
 
 def cg(A, b, x0=None, tol=1e-5, criteria="rr", maxiter=None, M=None,

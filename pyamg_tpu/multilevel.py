@@ -445,6 +445,53 @@ class MultilevelSolver:
         self._cycle_cache.clear()
         return self
 
+    def as_dtype(self, dtype):
+        """A dtype-cast twin of this hierarchy (shared static structure).
+
+        Used by ``solve_refined`` to escalate inner solves to f64 when the
+        f32 hierarchy hits its rounding floor (attainable relative
+        residual ~ eps32·cond(A)) on very ill-conditioned problems.  TPU
+        f64 is software-emulated — slower per cycle, so it only runs for
+        the final refinement outers.
+        """
+        dtype = jnp.dtype(dtype)
+        cplx = {jnp.dtype(jnp.float64): jnp.complex128,
+                jnp.dtype(jnp.float32): jnp.complex64}.get(dtype, None)
+
+        def castf(x):
+            if hasattr(x, "dtype"):
+                if jnp.issubdtype(x.dtype, jnp.floating):
+                    return x.astype(dtype)
+                if cplx is not None and \
+                        jnp.issubdtype(x.dtype, jnp.complexfloating):
+                    return x.astype(cplx)
+            return x
+
+        cast = lambda t: jax.tree_util.tree_map(castf, t)
+        levels = []
+        for l in self.levels:
+            l2 = Level(cast(l.A),
+                       cast(l.P) if getattr(l, "P", None) is not None
+                       else None,
+                       cast(l.R) if getattr(l, "R", None) is not None
+                       else None)
+            l2.pre = (l.pre[0], l.pre[1], cast(l.pre[2]))
+            l2.post = (l.post[0], l.post[1], cast(l.post[2]))
+            levels.append(l2)
+        new = MultilevelSolver.__new__(MultilevelSolver)
+        new.levels = levels
+        cs = CoarseSolver(self.coarse_solver.kind, self.coarse_solver.opts)
+        cs.params = cast(self.coarse_solver.params)
+        for attr in ("_cho_lower", "_smoother_static"):
+            if hasattr(self.coarse_solver, attr):
+                setattr(cs, attr, getattr(self.coarse_solver, attr))
+        new.coarse_solver = cs
+        new.symmetric_smoothing = self.symmetric_smoothing
+        new._cycle_cache = {}
+        if hasattr(self, "_fine_n"):
+            new._fine_n = self._fine_n
+        return new
+
     def change_solve_matrix(self, A):
         """Swap the fine-grid matrix and rebuild its smoothers
         (reference ``multilevel.py:320-337``)."""
@@ -489,17 +536,42 @@ class MultilevelSolver:
         x = np.zeros(n, np.float64)
         normb = np.linalg.norm(b64) or 1.0
         hist = []
-        dtype32 = self.levels[0].A.dtype
+        inner = self
+        dtype_in = self.levels[0].A.dtype
         for _ in range(max_outer):
             r = b64 - As @ x
             nr = np.linalg.norm(r)
             hist.append(float(nr))
             if nr <= tol * normb:
                 break
+            if len(hist) > 1 and nr > 0.7 * hist[-2]:
+                # refinement stagnated: the inner solver is at its f32
+                # floor (~eps32·cond(A) relative).  Escalate the inner
+                # hierarchy to f64 (software-emulated on TPU — slow, so
+                # only for these last outers), else stop.
+                if inner is self and jnp.dtype(dtype_in) != jnp.float64:
+                    with jax.enable_x64():
+                        if getattr(self, "_f64_twin", None) is None:
+                            self._f64_twin = self.as_dtype(jnp.float64)
+                    inner = self._f64_twin
+                    dtype_in = jnp.float64
+                else:
+                    warnings.warn(
+                        "solve_refined: outer refinement stalled at "
+                        f"relative residual {nr / normb:.2e}")
+                    break
             scale = nr
-            e = self.solve(jnp.asarray(r / scale, dtype32),
-                           tol=inner_tol, maxiter=inner_maxiter,
-                           cycle=cycle, accel=accel)
+            if inner is self:
+                e = inner.solve(jnp.asarray(r / scale, dtype_in),
+                                tol=inner_tol, maxiter=inner_maxiter,
+                                cycle=cycle, accel=accel)
+            else:
+                # f64 tier: trace/execute under scoped x64 so the f32
+                # fast path (incl. Pallas kernels) never sees the flag
+                with jax.enable_x64():
+                    e = inner.solve(jnp.asarray(r / scale, dtype_in),
+                                    tol=inner_tol, maxiter=inner_maxiter,
+                                    cycle=cycle, accel=accel)
             x = x + scale * np.asarray(e, np.float64)[:n]
         else:
             r = b64 - As @ x

@@ -68,7 +68,9 @@ def _dia_call(npad, ndiag, offsets, dtype_name):
         ext = xp_ref[0, pl.ds(base, tile + LANE)].reshape(rows + 1, LANE)
         if r == 0:
             return ext[:rows, :]
-        rolled = pltpu.roll(ext, shift=LANE - r, axis=1)
+        # explicit i32 shift: under jax_enable_x64 a bare Python int
+        # lowers to i64, which tpu.dynamic_rotate rejects
+        rolled = pltpu.roll(ext, shift=jnp.int32(LANE - r), axis=1)
         lane = jax.lax.broadcasted_iota(jnp.int32, (rows, LANE), 1)
         return jnp.where(lane < LANE - r, rolled[:rows, :], rolled[1:, :])
 
@@ -85,11 +87,11 @@ def _dia_call(npad, ndiag, offsets, dtype_name):
         kernel,
         grid=(npad // tile,),
         in_specs=[
-            pl.BlockSpec((ndiag, tile), lambda i: (0, i),
+            pl.BlockSpec((ndiag, tile), lambda i: (jnp.int32(0), jnp.int32(i)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # full padded x
         ],
-        out_specs=pl.BlockSpec((rows, LANE), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((rows, LANE), lambda i: (jnp.int32(i), jnp.int32(0)),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((npad // LANE, LANE), dtype),
     )

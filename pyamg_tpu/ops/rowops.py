@@ -111,6 +111,26 @@ def row_lookup(A: ELL, qcols: jax.Array, qvalid=None) -> jax.Array:
     zero-padding tail, which is re-sentineled so searchsorted stays valid.
     Jittable (static shapes); the sparse analogue of a gather.
     """
+    if is_concrete(A.cols, A.vals, qcols) and \
+            (qvalid is None or is_concrete(qvalid)):
+        # host twin: one flat searchsorted with per-row offsets (the
+        # setup phase must not dispatch per-shape device programs)
+        n, W = A.cols.shape
+        sent = np.int64(A.shape[1]) + 1
+        k = np.arange(W, dtype=np.int64)[None, :]
+        acols = np.where(k < np.asarray(A.row_nnz)[:, None],
+                         np.asarray(A.cols, np.int64), sent)
+        stride = sent + 1
+        roff = stride * np.arange(n, dtype=np.int64)[:, None]
+        flat = (acols + roff).ravel()          # globally sorted
+        q = np.asarray(qcols, np.int64) + roff[:, :1]
+        idx = np.searchsorted(flat, q.ravel()).reshape(q.shape)
+        idx = np.clip(idx, 0, n * W - 1)
+        hit = flat[idx] == q
+        out = np.asarray(A.vals).reshape(-1)[idx]
+        if qvalid is not None:
+            hit = hit & np.asarray(qvalid)
+        return np.where(hit, out, 0)
     n, W = A.cols.shape
     sent = jnp.int32(A.shape[1])
     k = jnp.arange(W, dtype=jnp.int32)[None, :]
