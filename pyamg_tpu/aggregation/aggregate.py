@@ -241,7 +241,7 @@ def _one_matching(A: ELL, seed=0):
     return jnp.asarray(agg, jnp.int32), nagg
 
 
-def lloyd_aggregation(C: ELL, ratio=0.03, distance="unit", maxiter=10,
+def lloyd_aggregation(C: ELL, ratio=0.1, distance="unit", maxiter=10,
                       seed=0):
     """Lloyd-clustering aggregation (reference ``aggregate.py:313``)."""
     from pyamg_tpu.graph import lloyd_cluster
@@ -276,17 +276,26 @@ def balanced_lloyd_aggregation(C: ELL, num_clusters=None, maxiter=5, seed=0):
                               C.vals.dtype), centers
 
 
-def metis_aggregation(C: ELL, ratio=0.03, seed=0):
-    """METIS-based aggregation (reference ``aggregate.py:563``).
+def metis_aggregation(C: ELL, ratio=0.1, measure=None, seed=0):
+    """METIS-based aggregation (reference ``aggregate.py:563``; default
+    ratio 0.1 = coarsening by 10, matching the reference).
 
     Partitions the strength graph into ``ratio * n`` parts via pymetis
     when installed; otherwise falls back to balanced-Lloyd clustering,
     which has comparable balance properties (see ``graph.metis_partition``).
+    ``measure``: edge weights as in the reference — None (ceil), 'range'
+    (integers 1..10), 'unit' (all ones).
     """
     from pyamg_tpu.graph import metis_partition
     n = C.shape[0]
     nparts = max(1, int(ratio * n))
-    data = jnp.where(C.valid_mask(), 1.0, 0.0)
+    if measure is None or measure == "unit":
+        data = jnp.where(C.valid_mask(), 1.0, 0.0)
+    elif measure == "range":
+        data = jnp.where(C.valid_mask(),
+                         jnp.round(9 * jnp.abs(C.vals)) + 1, 0.0)
+    else:
+        raise ValueError(f"Unrecognized value measure={measure}")
     G = ELL(C.cols, data, C.row_nnz, C.shape)
     parts = np.asarray(metis_partition(G, nparts, seed=seed))
     nagg = int(parts.max()) + 1
