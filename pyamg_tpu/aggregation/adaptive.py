@@ -19,6 +19,50 @@ from pyamg_tpu.relaxation.smoothing import make_smoother, apply_smoother
 from pyamg_tpu.aggregation.aggregation import smoothed_aggregation_solver
 
 
+def eliminate_local_candidates(x, AggOp, A, T, thresh=1.0, **kwargs):
+    """Zero a new candidate on aggregates where it is locally unimportant.
+
+    Behavioral twin of the reference's per-aggregate elimination tests
+    (``pyamg/aggregation/adaptive.py:25``), reformulated on the one-hot
+    aggregate-label matrix: per-aggregate inner products are bincounts
+    (segment sums) over the node labels.  An aggregate is dropped when the
+    candidate's local mass ``<x,x>_i`` is below the energy-scaled weight
+    ``thresh * card_i * <Ax,x> / (n rho(A))`` (test 1) or when the part of
+    x orthogonal to range(T) is (test 2: already captured by T).
+
+    Returns the filtered copy (functional — no in-place mutation).
+    """
+    from pyamg_tpu.util.linalg import approximate_spectral_radius
+    from pyamg_tpu.sparse.matrix import to_scipy
+
+    x = np.asarray(x)
+    nnodes, nagg = AggOp.shape
+    ndof = x.shape[0]
+    npde = ndof // nnodes
+    labels = np.where(np.asarray(AggOp.row_nnz) > 0,
+                      np.asarray(AggOp.cols[:, 0]), nagg)
+    dof_labels = np.repeat(labels, npde)
+
+    def agg_inner(z):
+        return np.bincount(dof_labels, weights=np.abs(z) ** 2,
+                           minlength=nagg + 1)[:nagg]
+
+    As = to_scipy(A)
+    rho = approximate_spectral_radius(A)
+    zAz = float(np.real(np.vdot(x, As @ x)))
+    card = npde * np.bincount(labels, minlength=nagg + 1)[:nagg]
+    weights = thresh * card * zAz / (ndof * rho)
+
+    Ts = to_scipy(T)
+    projected = x - Ts @ (Ts.conj().T @ x)
+    drop = (agg_inner(x) <= weights) | (agg_inner(projected) <= weights)
+
+    kill_node = np.zeros(nnodes, dtype=bool)
+    valid = labels < nagg
+    kill_node[valid] = drop[labels[valid]]
+    return np.where(np.repeat(kill_node, npde), 0.0, x)
+
+
 def _relax_on_homogeneous(A, x, spec, iterations):
     """x <- relax(A, x, b=0) repeated (the aSA bootstrap primitive,
     reference ``adaptive.py:361`` initial_setup_stage)."""
@@ -47,6 +91,11 @@ def adaptive_sa_solver(A, initial_candidates=None, symmetry="hermitian",
     rng = np.random.default_rng(seed)
     work = np.zeros((1,))
 
+    if isinstance(eliminate_local, tuple):
+        do_elim, elim_opts = eliminate_local
+    else:
+        do_elim, elim_opts = bool(eliminate_local), {}
+
     def build(B):
         return smoothed_aggregation_solver(
             A, B=B, symmetry=symmetry, strength=strength,
@@ -54,7 +103,7 @@ def adaptive_sa_solver(A, initial_candidates=None, symmetry="hermitian",
             presmoother=prepostsmoother, postsmoother=prepostsmoother,
             max_levels=max_levels,
             max_coarse=max_coarse, coarse_solver=coarse_solver,
-            keep=keep, **kwargs)
+            keep=keep or do_elim, **kwargs)
 
     # --- initial stage: bootstrap the first candidate --------------------
     # Down-up pass over a trial hierarchy (reference initial_setup_stage,
@@ -137,6 +186,10 @@ def adaptive_sa_solver(A, initial_candidates=None, symmetry="hermitian",
         x = ml.solve(b, x0=x, maxiter=candidate_iters, tol=1e-16,
                      cycle="V")
         work[0] += sum(l.A.nnz for l in ml.levels) * candidate_iters
+        if do_elim and len(ml.levels) > 1:
+            x = jnp.asarray(eliminate_local_candidates(
+                x, ml.levels[0].AggOp, ml.levels[0].A, ml.levels[0].T,
+                **elim_opts), A.dtype)
         nrm = jnp.linalg.norm(x)
         if float(nrm) == 0.0:
             break  # solver is exact; no new candidate needed

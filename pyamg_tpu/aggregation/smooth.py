@@ -37,6 +37,12 @@ def jacobi_prolongation_smoother(S, T, C, B, omega=4.0 / 3.0, degree=1,
                                  filter_entries=False, weighting="diagonal"):
     """Damped-Jacobi prolongation smoothing (reference ``smooth.py:61``)."""
     from pyamg_tpu.relaxation.smoothing import rho_D_inv_A
+    if isinstance(T, BELL) and not isinstance(S, BELL):
+        # scalar operator, multi-candidate T (node blocks (1, K2)): promote
+        # S to unit blocks so the block SpGEMM path conforms (reference gets
+        # this for free from scipy csr@bsr, ``smooth.py:61``)
+        S = BELL(S.cols, S.vals[:, :, None, None], S.row_nnz, S.shape,
+                 (1, 1))
     if isinstance(S, BELL) and isinstance(T, BELL):
         from pyamg_tpu.util.linalg import pinv_array
         Dinv = pinv_array(extract_block_diagonal(S))
@@ -69,6 +75,9 @@ def jacobi_prolongation_smoother(S, T, C, B, omega=4.0 / 3.0, degree=1,
 def richardson_prolongation_smoother(S, T, omega=4.0 / 3.0, degree=1):
     """Richardson prolongation smoothing (reference ``smooth.py:209``)."""
     from pyamg_tpu.util.linalg import approximate_spectral_radius
+    if isinstance(T, BELL) and not isinstance(S, BELL):
+        S = BELL(S.cols, S.vals[:, :, None, None], S.row_nnz, S.shape,
+                 (1, 1))
     if isinstance(S, BELL) and isinstance(T, BELL):
         rho = approximate_spectral_radius(S)
         w = omega / rho

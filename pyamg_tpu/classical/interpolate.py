@@ -11,6 +11,8 @@ per-C-point dense solves of lAIR become batched gathers / batched
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -270,8 +272,46 @@ def _air_neighborhoods(C: ELL, splitting, Cpts, degree):
     return jnp.asarray(nb)
 
 
-@jax.jit
-def _air_solve(Acols, Avals, Arow_nnz, n_cols, nbrs, cpts):
+def _dense_gmres_batch(Amat, b, m, precondition=True):
+    """Batched dense GMRES(m) on small systems ``Amat r = b``.
+
+    TPU twin of the reference's per-C-point ``dense_GMRES``
+    (``/root/reference/pyamg/amg_core/krylov.h:214``, called from
+    ``air.h:212-328`` when ``use_gmres``): one vmapped Arnoldi of m
+    statically-unrolled steps, least-squares solve in the Krylov basis.
+    Jacobi (row-scaling) preconditioning mirrors ``precondition=True``.
+    """
+    if precondition:
+        d = jnp.diagonal(Amat, axis1=1, axis2=2)
+        dinv = jnp.where(jnp.abs(d) > 1e-32, 1.0 / d, 1.0)
+        Amat = Amat * dinv[:, :, None]
+        b = b * dinv
+
+    def single(A1, b1):
+        mm = b1.shape[0]
+        V = jnp.zeros((m + 1, mm), A1.dtype)
+        H = jnp.zeros((m + 1, m), A1.dtype)
+        beta = jnp.linalg.norm(b1)
+        V = V.at[0].set(b1 / jnp.where(beta == 0, 1, beta))
+        for j in range(m):
+            w = A1 @ V[j]
+            for i in range(j + 1):
+                hij = jnp.vdot(V[i], w)
+                H = H.at[i, j].set(hij)
+                w = w - hij * V[i]
+            hn = jnp.linalg.norm(w)
+            H = H.at[j + 1, j].set(hn)
+            V = V.at[j + 1].set(w / jnp.where(hn == 0, 1, hn))
+        e1 = jnp.zeros((m + 1,), A1.dtype).at[0].set(beta)
+        y, *_ = jnp.linalg.lstsq(H, e1)
+        return V[:m].T @ y
+
+    return jax.vmap(single)(Amat, b)
+
+
+@partial(jax.jit, static_argnums=(6, 7, 8))
+def _air_solve(Acols, Avals, Arow_nnz, n_cols, nbrs, cpts,
+               use_gmres=False, maxiter=10, precondition=True):
     """Batched local solves R_loc: A[N,N]^T r = -A[c,N]^T per C-point."""
     ncp, M = nbrs.shape
     ok = nbrs >= 0
@@ -296,7 +336,12 @@ def _air_solve(Acols, Avals, Arow_nnz, n_cols, nbrs, cpts):
     A_sys = jnp.where(okj, A_loc, 0) + pad_eye
     b = jnp.where(ok, b, 0)
     # solve A_sys^T r = b  (A_sys[b,j,i] = A[N_j,N_i]; need sum_j r_j A[N_j,N_i] = b_i)
-    r = jnp.linalg.solve(jnp.swapaxes(A_sys, 1, 2), b[..., None])[..., 0]
+    At = jnp.swapaxes(A_sys, 1, 2)
+    if use_gmres:
+        r = _dense_gmres_batch(At, b, m=min(int(maxiter), M),
+                               precondition=precondition)
+    else:
+        r = jnp.linalg.solve(At, b[..., None])[..., 0]
     return r, ok
 
 
@@ -305,8 +350,9 @@ def local_air(A: ELL, splitting, theta=0.1, norm="abs", degree=1,
     """Local approximate-ideal-restriction (lAIR) operator (reference
     ``interpolate.py:324`` / ``air.h:124-328``): per C-point solve
     ``r^T A[N,N] = -A[c,N]`` over the strong-F neighborhood N, identity at
-    the C-point.  Batched dense solves on device; ``use_gmres`` accepted
-    for API parity (the direct solve is exact)."""
+    the C-point.  Batched dense solves on device; with ``use_gmres`` the
+    local systems are solved by batched dense GMRES(maxiter) as in the
+    reference (``air.h:212-328`` + ``krylov.h:214``)."""
     if isinstance(A, BELL):
         return _local_air_bsr(A, splitting, theta, norm, degree)
     C = classical_strength_of_connection(A, theta=theta, block=False,
@@ -321,7 +367,8 @@ def local_air(A: ELL, splitting, theta=0.1, norm="abs", degree=1,
                    jnp.zeros((0,), jnp.int32), (0, n))
     nbrs = _air_neighborhoods(C, split, Cpts, degree)
     cpts = jnp.asarray(Cpts, jnp.int32)
-    r, ok = _air_solve(A.cols, A.vals, A.row_nnz, n, nbrs, cpts)
+    r, ok = _air_solve(A.cols, A.vals, A.row_nnz, n, nbrs, cpts,
+                       bool(use_gmres), int(maxiter), bool(precondition))
     # assemble R rows: solution over neighborhood + identity at cpoint
     cand_cols = jnp.concatenate(
         [jnp.where(ok, nbrs, 0).astype(jnp.int32), cpts[:, None]], axis=1)

@@ -217,3 +217,49 @@ class TestSAConvergence:
             ml.solve(jnp.zeros(n), x0=x0, maxiter=15, tol=1e-12,
                      residuals=res)
             assert conv_factor(res) < 0.7, cs
+
+
+class TestMultiCandidate:
+    """Scalar operator + multi-column B (T gets (1,K2) node blocks)."""
+
+    def test_two_candidate_smoothers(self):
+        # reference exercises K2=2 B on scalar A for every smoother
+        # (pyamg/aggregation/tests/test_aggregation.py:165-181)
+        A = poisson((20, 20))
+        n = A.shape[0]
+        B = np.ones((n, 2))
+        B[:, 1] = np.arange(n)
+        x0 = jnp.asarray(np.random.default_rng(3).standard_normal(n))
+        for sm in [("jacobi", {}), ("richardson", {}), ("energy", {})]:
+            ml = smoothed_aggregation_solver(A, B=B, smooth=sm)
+            res = []
+            ml.solve(jnp.zeros(n), x0=x0, maxiter=15, tol=1e-16,
+                     residuals=res)
+            assert conv_factor(res) < 0.5, (sm, conv_factor(res))
+
+
+class TestEliminateLocal:
+    def test_in_range_candidate_fully_eliminated(self):
+        # a candidate already in range(T) must be zeroed by test 2
+        # (reference pyamg/aggregation/adaptive.py:25)
+        from pyamg_tpu.aggregation.adaptive import eliminate_local_candidates
+        from pyamg_tpu.sparse.matrix import to_scipy
+        A = poisson((20, 20))
+        ml = smoothed_aggregation_solver(A, keep=True)
+        l0 = ml.levels[0]
+        xc = np.random.default_rng(1).standard_normal(l0.T.shape[1])
+        xr = to_scipy(l0.T) @ xc
+        out = eliminate_local_candidates(xr, l0.AggOp, l0.A, l0.T,
+                                         thresh=1.0)
+        assert np.linalg.norm(out) == 0.0
+
+    def test_adaptive_with_elimination_converges(self):
+        from pyamg_tpu.aggregation.adaptive import adaptive_sa_solver
+        A = poisson((20, 20))
+        n = A.shape[0]
+        ml, work = adaptive_sa_solver(A, num_candidates=2,
+                                      eliminate_local=(True, {"thresh": 1.0}))
+        res = []
+        x0 = jnp.asarray(np.random.default_rng(0).standard_normal(n))
+        ml.solve(jnp.zeros(n), x0=x0, maxiter=20, tol=1e-16, residuals=res)
+        assert conv_factor(res) < 0.35

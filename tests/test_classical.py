@@ -218,3 +218,18 @@ class TestCR:
         C = to_scipy(binormalize(A)).toarray()
         norms = np.linalg.norm(C, axis=1)
         assert norms.std() / norms.mean() < 0.1
+
+
+def test_air_use_gmres_local_solves():
+    """lAIR with batched dense-GMRES local solves (reference
+    ``air.h:212-328`` + ``krylov.h:214`` dense_GMRES path)."""
+    from pyamg_tpu.gallery import advection_2d
+    from pyamg_tpu.classical.air import air_solver
+    from pyamg_tpu.sparse.matrix import to_scipy
+    A, b = advection_2d((12, 12))
+    ml = air_solver(A, interpolation="one_point",
+                    restrict=("air", {"use_gmres": True, "maxiter": 8}))
+    As = to_scipy(A)
+    x = ml.solve(jnp.asarray(b), maxiter=30, tol=1e-10)
+    r = np.linalg.norm(b - As @ np.asarray(x)) / np.linalg.norm(b)
+    assert r < 1e-8
