@@ -377,25 +377,33 @@ class MultilevelSolver:
     def psolve(self, b):
         return self.aspreconditioner().matvec(jnp.asarray(b))
 
-    def compress_stencils(self, max_diags=64):
-        """Convert structured operators to their gather-free layouts:
+    def compress_stencils(self, max_diags=64, sell=True):
+        """Convert operators to their gather-free / fused-kernel layouts:
 
         * square ELL levels with narrow offset structure -> ``DIA``
-          (banded; SpMV = shifted elementwise products), and
+          (banded; SpMV = shifted elementwise products),
         * grid-tagged transfer operators P/R -> ``PhaseStencil``
-          (per-phase shifted products on the coarse grid).
+          (per-phase shifted products on the coarse grid), and
+        * everything else with clustered quasi-diagonal structure ->
+          ``SELL`` (single-Pallas-kernel windowed lane-gather SpMV and
+          fused Gauss-Seidel sweeps; ``sparse/sell.py``).
 
-        Together these remove every gather from the V-cycle on stencil
-        hierarchies — the TPU fast path.  Originals are kept as
-        ``A_ell``/``P_ell``/``R_ell`` for fallback.
+        Together these remove every XLA gather from the V-cycle — the
+        TPU fast path.  Originals are kept as ``A_ell``/``P_ell``/``R_ell``
+        for fallback (and for the f64 ``as_dtype`` twin).
         """
         from pyamg_tpu.sparse.matrix import (dia_from_ell,
                                              phase_stencil_from_ell)
+        from pyamg_tpu.sparse.sell import sell_from_ell
+        from pyamg_tpu.ops.pallas_kernels import pallas_available
         from pyamg_tpu.ops.transpose import transpose
         import dataclasses
+        sell = sell and pallas_available()
         for lvl in self.levels:
             if isinstance(lvl.A, ELL):
                 D = dia_from_ell(lvl.A, max_diags=max_diags)
+                if D is None and sell:
+                    D = sell_from_ell(lvl.A)
                 if D is not None:
                     lvl.A_ell = lvl.A
                     lvl.A = D
@@ -415,6 +423,14 @@ class MultilevelSolver:
                         if rps is not None:
                             lvl.R_ell = lvl.R
                             lvl.R = dataclasses.replace(rps, trans=True)
+            if sell:
+                for attr in ("P", "R"):
+                    op = getattr(lvl, attr, None)
+                    if isinstance(op, ELL):
+                        s = sell_from_ell(op)
+                        if s is not None:
+                            setattr(lvl, attr + "_ell", op)
+                            setattr(lvl, attr, s)
         self._cycle_cache.clear()
         return self
 
@@ -468,12 +484,22 @@ class MultilevelSolver:
             return x
 
         cast = lambda t: jax.tree_util.tree_map(castf, t)
+        from pyamg_tpu.sparse.sell import SELL
+
+        def src(l, attr):
+            # SELL kernels are f32-only; the dtype twin uses the stored
+            # ELL original instead
+            v = getattr(l, attr, None)
+            if isinstance(v, SELL):
+                v = getattr(l, attr + "_ell", v)
+            return v
+
         levels = []
         for l in self.levels:
-            l2 = Level(cast(l.A),
-                       cast(l.P) if getattr(l, "P", None) is not None
+            l2 = Level(cast(src(l, "A")),
+                       cast(src(l, "P")) if getattr(l, "P", None) is not None
                        else None,
-                       cast(l.R) if getattr(l, "R", None) is not None
+                       cast(src(l, "R")) if getattr(l, "R", None) is not None
                        else None)
             l2.pre = (l.pre[0], l.pre[1], cast(l.pre[2]))
             l2.post = (l.post[0], l.post[1], cast(l.post[2]))

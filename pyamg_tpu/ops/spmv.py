@@ -119,7 +119,7 @@ def matvec(A, x):
         return A.mv(x)
     if isinstance(A, ELL):
         return spmv(A, x)
-    return A.mv(x)                       # HaloELL and other mv-providers
+    return A.mv(x)                 # SELL, HaloELL and other mv-providers
 
 
 def extract_diagonal(A) -> jax.Array:
@@ -128,6 +128,9 @@ def extract_diagonal(A) -> jax.Array:
     Reference: ``pyamg/util/utils.py:541`` (``get_diagonal``).
     """
     if isinstance(A, DIA):
+        return A.diagonal()
+    from pyamg_tpu.sparse.sell import SELL
+    if isinstance(A, SELL):
         return A.diagonal()
     if isinstance(A, BELL):
         br, bc = A.blocksize

@@ -130,7 +130,18 @@ def gauss_seidel(A, x, b, iterations=1, sweep="forward", colors=None,
     Reference semantics at the convergence-factor level:
     ``relaxation.py:265`` (the reference's lexicographic ordering is an
     implementation detail; its own tests assert factors, SURVEY.md §7.3).
+
+    SELL operators take the fused single-kernel sweep (sequential
+    1024-row tiles with x resident in VMEM — GS across tiles, Jacobi
+    within a tile; see ``ops/sell_kernels.sell_gs_sweep``).
     """
+    from pyamg_tpu.sparse.sell import SELL
+    if isinstance(A, SELL) and getattr(x, "ndim", 1) == 1:
+        from pyamg_tpu.ops.sell_kernels import sell_gs_sweep
+        Dinv = _dinv_vec(A) if Dinv is None else jnp.asarray(Dinv)
+        for _ in range(iterations):
+            x = sell_gs_sweep(A, x, b, Dinv, omega=omega, sweep=sweep)
+        return x
     if colors is None:
         colors, ncolors = make_coloring(A)
     Dinv = _dinv_vec(A) if Dinv is None else Dinv
