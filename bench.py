@@ -23,6 +23,10 @@ import time
 
 import numpy as np
 import jax
+# persistent compile cache: axon remote compiles are expensive (20-100 s
+# per fused kernel); warm re-runs of the bench must not pay them again
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 import jax.numpy as jnp
 
 

@@ -56,6 +56,9 @@ def get_lib():
         lib.rs_cf_splitting_pass2.restype = None
         lib.rs_cf_splitting_pass2.argtypes = [ctypes.c_int32, i32p, i32p,
                                               i32p]
+        lib.first_fit_coloring.restype = ctypes.c_int32
+        lib.first_fit_coloring.argtypes = [ctypes.c_int32, i32p, i32p,
+                                           i32p]
         _lib = lib
     except Exception as e:  # pragma: no cover - fallback path
         warnings.warn(f"native amg_host unavailable ({e}); "
@@ -110,3 +113,14 @@ def rs_cf_splitting(n, Sp, Sj, Tp, Tj, influence=None, second_pass=False):
     if second_pass:
         lib.rs_cf_splitting_pass2(n, _ptr(Sp), _ptr(Sj), _ptr(out))
     return out
+
+
+def first_fit_coloring(n, indptr, indices):
+    """Greedy first-fit coloring (graph.h:248). (colors, ncolors) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    Ap, Aj = _i32(indptr), _i32(indices)
+    colors = np.empty(max(n, 1), np.int32)
+    nc = lib.first_fit_coloring(n, _ptr(Ap), _ptr(Aj), _ptr(colors))
+    return colors[:n], int(nc)

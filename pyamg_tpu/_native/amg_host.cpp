@@ -219,6 +219,32 @@ void rs_cf_splitting_pass2(i32 n, const i32* Sp, const i32* Sj,
 }
 
 // ---------------------------------------------------------------------------
+// First-fit greedy vertex coloring over CSR adjacency (the reference's
+// vertex_coloring_first_fit, graph.h:248).  Sequential O(nnz); used by the
+// multicolor-GS smoother setup where any valid coloring works and fewer
+// colors means fewer sweep steps.  Returns the number of colors.
+// ---------------------------------------------------------------------------
+i32 first_fit_coloring(i32 n, const i32* Ap, const i32* Aj, i32* color) {
+    std::vector<i32> mark(64, -1);   // color -> last row that saw it
+    i32 ncolors = 0;
+    for (i32 i = 0; i < n; ++i) color[i] = -1;
+    for (i32 i = 0; i < n; ++i) {
+        for (i32 jj = Ap[i]; jj < Ap[i + 1]; ++jj) {
+            i32 j = Aj[jj];
+            if (j == i || j < 0 || j >= n) continue;
+            i32 c = color[j];
+            if (c >= 0) mark[(size_t)c] = i;
+        }
+        i32 c = 0;
+        while (c < (i32)mark.size() && mark[(size_t)c] == i) ++c;
+        if (c >= (i32)mark.size()) mark.resize((size_t)c + 1, -1);
+        color[i] = c;
+        if (c + 1 > ncolors) ncolors = c + 1;
+    }
+    return ncolors;
+}
+
+// ---------------------------------------------------------------------------
 // Lloyd helpers and misc graph golds can be added here as needed.
 // ---------------------------------------------------------------------------
 

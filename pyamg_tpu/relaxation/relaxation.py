@@ -108,13 +108,25 @@ def fc_jacobi(A, x, b, Cpts, Fpts, iterations=1, f_iterations=1,
 # ---------------------------------------------------------------------------
 
 def make_coloring(A, method="JP", seed=0):
-    """Color the (symmetrized) graph of A for multicolor GS.
+    """Color the graph of A for multicolor GS.
 
-    Returns (colors int32 (n,), ncolors int).  Setup-phase.
+    Returns (colors int32 (n,), ncolors int).  Setup-phase.  Any valid
+    coloring works (fewer colors = fewer sweep steps), so the host path
+    uses the native sequential first-fit (reference ``graph.h:248``,
+    O(nnz) C++) rather than the JP fixed-point rounds.
     """
     from pyamg_tpu.graph import vertex_coloring
-    colors = vertex_coloring(A if isinstance(A, ELL) else A, method=method,
-                             seed=seed)
+    if isinstance(A, ELL) and is_concrete(A.cols):
+        from pyamg_tpu import _native
+        n = A.shape[0]
+        row_nnz = np.asarray(A.row_nnz)
+        indptr = np.concatenate([[0], np.cumsum(row_nnz)]).astype(np.int32)
+        mask = np.arange(A.width)[None, :] < row_nnz[:, None]
+        indices = np.asarray(A.cols)[mask].astype(np.int32)
+        r = _native.first_fit_coloring(n, indptr, indices)
+        if r is not None:
+            return jnp.asarray(r[0]), r[1]
+    colors = vertex_coloring(A, method=method, seed=seed)
     return jnp.asarray(colors), int(colors.max()) + 1
 
 
