@@ -1,42 +1,65 @@
 """Compatible relaxation C/F splitting (reference ``pyamg/classical/cr.py``
 and ``ruge_stuben.h:942`` ``cr_helper``).
 
-Relaxation sweeps run on device (the same jitted smoothers used by the
-solve phase); the candidate-set update is the reference's greedy weighted
-independent set, a sequential host pass (setup phase only).
+CR's convergence measure is *ordering-sensitive*: the reference sweeps with
+sequential lexicographic Gauss-Seidel (``relaxation.h:49``), and the
+habituated rho it measures under a red-black (multicolor) ordering can land
+on the other side of ``thetacr`` for the same C/F set.  The sweeps here
+therefore run the exact reference ordering on host (a sparse triangular
+solve per sweep) rather than borrowing the device multicolor smoother —
+CR is a setup-phase host algorithm anyway.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
 
 from pyamg_tpu.sparse.matrix import ELL, to_scipy
-from pyamg_tpu.relaxation.relaxation import gauss_seidel, gauss_seidel_indexed
 
 
 def _cr_sweep(A: ELL, B, Findex, Cindex, nu, thetacr, method):
     """Habituated/concurrent CR sweeps (reference ``cr.py:12-78``)."""
+    import scipy.sparse as sp
+    from scipy.sparse.linalg import splu
     n = A.shape[0]
-    z = np.zeros((n,), A.dtype)
-    e = np.asarray(B[:, 0], A.dtype).copy()
+    As = to_scipy(A).tocsr().astype(np.float64)
+    e = np.asarray(B[:, 0], np.float64).copy()
     Cidx = np.asarray(Cindex, np.int64) if len(Cindex) else None
+    if method == "habituated":
+        LD = sp.tril(As, 0).tocsc()
+        U = sp.triu(As, 1).tocsr()
+        lu = splu(LD, permc_spec="NATURAL",
+                  options={"SymmetricMode": True})
+        step = lambda e: lu.solve(-(U @ e))            # noqa: E731
+    elif method == "concurrent":
+        F = np.asarray(Findex, np.int64)
+        AFF = As[F][:, F].tocsr()
+        AFC = (As[F].tocsc()[:, Cidx].tocsr()
+               if Cidx is not None else None)
+        LD = sp.tril(AFF, 0).tocsc()
+        UF = sp.triu(AFF, 1).tocsr()
+        lu = splu(LD, permc_spec="NATURAL",
+                  options={"SymmetricMode": True})
+
+        def step(e):
+            rhs = -(UF @ e[F])
+            if AFC is not None:
+                rhs = rhs - AFC @ e[Cidx]
+            out = e.copy()
+            out[F] = lu.solve(rhs)
+            return out
+    else:
+        raise NotImplementedError(
+            "method not recognized: need habituated or concurrent")
     if Cidx is not None:
         e[Cidx] = 0.0
     enorm = float(np.linalg.norm(e))
     rhok = 1.0
     it = 0
     while True:
-        if method == "habituated":
-            e = np.asarray(gauss_seidel(A, e, z, iterations=1))
-            if Cidx is not None:
-                e[Cidx] = 0.0
-        elif method == "concurrent":
-            e = np.asarray(gauss_seidel_indexed(
-                A, e, z, indices=np.asarray(Findex), iterations=1))
-        else:
-            raise NotImplementedError(
-                "method not recognized: need habituated or concurrent")
+        e = step(e)
+        if method == "habituated" and Cidx is not None:
+            e[Cidx] = 0.0
         enorm_old = enorm
         enorm = float(np.linalg.norm(e))
         rhok_old = rhok

@@ -51,7 +51,20 @@ def dedup_rows_host(cols, vals, valid, n_cols: int):
 
 def dedup_rows(cols: jax.Array, vals: jax.Array, valid: jax.Array,
                n_cols: int):
-    """Coalesce per-row candidate entries.
+    """Coalesce per-row candidate entries (device path, scatter-free).
+
+    TPU scatters serialize (~90 ms for a (262k, 32) scatter-add vs ~2 ms
+    for a lane sort on v5e), so the coalesce+compact is built from two
+    lane sorts and a cumsum instead:
+
+      1. sort (col, val) by column; padding carries the ``n_cols``
+         sentinel so it sinks to the right, with zero values.
+      2. running sum ``s = cumsum(val)`` along the row; each duplicate
+         segment's sum is the difference of ``s`` at consecutive segment
+         *end* slots (padding zeros never perturb ``s``).
+      3. a stable sort by "not a segment end" left-compacts the end slots
+         in column order; first-difference of the compacted ``s`` yields
+         the coalesced values.
 
     Args:
       cols: (n, W) int32 candidate column indices.
@@ -67,22 +80,40 @@ def dedup_rows(cols: jax.Array, vals: jax.Array, valid: jax.Array,
     sent = jnp.int32(n_cols)
     c = jnp.where(valid, cols.astype(jnp.int32), sent)
     v = jnp.where(valid, vals, 0)
-    order = jnp.argsort(c, axis=1)
-    c = jnp.take_along_axis(c, order, axis=1)
-    v = jnp.take_along_axis(v, order, axis=1)
-    head = jnp.concatenate(
-        [jnp.ones((n, 1), bool), c[:, 1:] != c[:, :-1]], axis=1)
-    head = head & (c < sent)
-    pos = jnp.maximum(jnp.cumsum(head, axis=1) - 1, 0)
-    rows = jnp.arange(n, dtype=jnp.int32)[:, None]
-    out_vals = jnp.zeros_like(v).at[rows, pos].add(v)
-    out_cols = jnp.zeros_like(c).at[rows, pos].add(jnp.where(head, c, 0))
+    if W == 1:
+        rn = (c[:, 0] < sent).astype(jnp.int32)
+        return jnp.where(c < sent, c, 0), v, rn
+    cplx = jnp.issubdtype(v.dtype, jnp.complexfloating)
+    if cplx:
+        c, vre, vim = jax.lax.sort((c, v.real, v.imag), dimension=1,
+                                   num_keys=1)
+        v = jax.lax.complex(vre, vim)
+    else:
+        c, v = jax.lax.sort((c, v), dimension=1, num_keys=1)
+    neq = c[:, 1:] != c[:, :-1]
+    head = jnp.concatenate([jnp.ones((n, 1), bool), neq], axis=1) \
+        & (c < sent)
     row_nnz = jnp.sum(head, axis=1).astype(jnp.int32)
-    # zero out the tail so padding invariants hold
+    s = jnp.cumsum(v, axis=1)
+    # segment-end slots: last slot of each equal-column run (the padding
+    # run contributes one end, masked off below by row_nnz)
+    islast = jnp.concatenate([neq, jnp.ones((n, 1), bool)], axis=1)
+    key = (~islast).astype(jnp.int32)
+    if cplx:
+        _, c2, s2re, s2im = jax.lax.sort((key, c, s.real, s.imag),
+                                         dimension=1, num_keys=1,
+                                         is_stable=True)
+        s2 = jax.lax.complex(s2re, s2im)
+    else:
+        _, c2, s2 = jax.lax.sort((key, c, s), dimension=1, num_keys=1,
+                                 is_stable=True)
+    prev = jnp.concatenate([jnp.zeros((n, 1), s2.dtype), s2[:, :-1]],
+                           axis=1)
+    out_vals = s2 - prev
     k = jnp.arange(W, dtype=jnp.int32)[None, :]
-    tail = k >= row_nnz[:, None]
-    out_vals = jnp.where(tail, 0, out_vals)
-    out_cols = jnp.where(tail, 0, out_cols)
+    keep = k < row_nnz[:, None]
+    out_cols = jnp.where(keep, c2, 0)
+    out_vals = jnp.where(keep, out_vals, 0)
     return out_cols, out_vals, row_nnz
 
 

@@ -38,16 +38,27 @@ from pyamg_tpu.ops.rowops import dedup_rows, compact_width
 
 
 def _expand(A: ELL, B: ELL):
-    """Candidate (cols, vals, valid) of shape (n, WA*WB)."""
+    """Candidate (cols, vals, valid) of shape (n, WA*WB).
+
+    Unrolled per-A-slot row gathers: a single 2-D indexed gather
+    ``B.cols[A.cols]`` costs ~30 ms at (262k, 8, 4) on v5e while WA
+    separate 1-D row gathers concatenated along lanes cost ~1 ms — the
+    2-D form defeats XLA's vectorized row-gather tiling.
+    """
     n = A.shape[0]
     WA, WB = A.width, B.width
-    ac = A.cols                                   # (n, WA)
-    bc = B.cols[ac]                               # (n, WA, WB)
-    bv = B.vals[ac]
-    prod = A.vals[:, :, None] * bv
-    valid = A.valid_mask()[:, :, None] & B.valid_mask()[ac]
-    return (bc.reshape(n, WA * WB), prod.reshape(n, WA * WB),
-            valid.reshape(n, WA * WB))
+    av_ok = A.valid_mask()
+    kB = jnp.arange(WB, dtype=jnp.int32)[None, :]
+    parts_c, parts_v, parts_ok = [], [], []
+    for j in range(WA):
+        idx = A.cols[:, j]
+        parts_c.append(B.cols[idx])                       # (n, WB)
+        parts_v.append(A.vals[:, j:j + 1] * B.vals[idx])
+        bok = kB < B.row_nnz[idx][:, None]
+        parts_ok.append(av_ok[:, j:j + 1] & bok)
+    return (jnp.concatenate(parts_c, axis=1),
+            jnp.concatenate(parts_v, axis=1),
+            jnp.concatenate(parts_ok, axis=1))
 
 
 def spgemm(A: ELL, B: ELL, width=None) -> ELL:
@@ -103,19 +114,13 @@ def masked_spgemm(A: ELL, B: ELL, pattern_cols: jax.Array,
         out = np.where(hit & pv, C.data[idx] if len(ckey) else 0, 0)
         return out.astype(C.data.dtype)
     cols, vals, valid = _expand(A, B)
-    c, v, _ = dedup_rows(cols, vals, valid, B.shape[1])
+    c, v, rn = dedup_rows(cols, vals, valid, B.shape[1])
     # For each pattern slot, find its column among the coalesced candidates.
-    # c rows are sorted ascending with sentinel-free zero tail — but tail
-    # zeros break searchsorted; re-sentinel the tail to n_cols.
+    # c rows are sorted ascending with a zero tail — tail zeros break
+    # searchsorted; re-sentinel the tail (slots >= row_nnz) to n_cols.
     W = c.shape[1]
     k = jnp.arange(W, dtype=jnp.int32)[None, :]
-    # tail detection: positions with value 0 beyond the first slot whose col
-    # is 0 are padding; reconstruct validity from dedup row_nnz instead:
-    # (dedup_rows zeroes the tail; recompute via monotonicity break)
-    nondecr = jnp.concatenate(
-        [jnp.ones((c.shape[0], 1), bool), c[:, 1:] > c[:, :-1]], axis=1)
-    valid_c = jnp.cumprod(nondecr, axis=1).astype(bool)
-    cs = jnp.where(valid_c, c, B.shape[1])
+    cs = jnp.where(k < rn[:, None], c, B.shape[1])
     idx = jax.vmap(jnp.searchsorted)(cs, pattern_cols)
     idx = jnp.clip(idx, 0, W - 1)
     hit = jnp.take_along_axis(cs, idx, axis=1) == pattern_cols
@@ -134,15 +139,20 @@ def spgemm_bell(A: BELL, B: BELL, width=None) -> BELL:
         return bell_from_scipy(C, width=width)
     nb = A.n_block_rows
     WA, WB = A.width, B.width
-    ac = A.cols
-    bc = B.cols[ac]                                   # (nb, WA, WB)
-    bv = B.vals[ac]                                   # (nb, WA, WB, bi, bj)
-    prod = jnp.einsum("nwij,nwvjk->nwvik", A.vals, bv)
-    valid = A.valid_mask()[:, :, None] & B.valid_mask()[ac]
-    cand_cols = bc.reshape(nb, WA * WB)
-    cand_valid = valid.reshape(nb, WA * WB)
     br, bc_ = A.blocksize[0], B.blocksize[1]
-    cand_vals = prod.reshape(nb, WA * WB, br, bc_)
+    av_ok = A.valid_mask()
+    kB = jnp.arange(WB, dtype=jnp.int32)[None, :]
+    parts_c, parts_v, parts_ok = [], [], []
+    for j in range(WA):                 # unrolled 1-D row gathers (see _expand)
+        idx = A.cols[:, j]
+        parts_c.append(B.cols[idx])                       # (nb, WB)
+        bv = B.vals[idx]                                  # (nb, WB, bk, bj)
+        parts_v.append(jnp.einsum("nij,nwjk->nwik", A.vals[:, j], bv))
+        parts_ok.append(av_ok[:, j:j + 1]
+                        & (kB < B.row_nnz[idx][:, None]))
+    cand_cols = jnp.concatenate(parts_c, axis=1)
+    cand_valid = jnp.concatenate(parts_ok, axis=1)
+    cand_vals = jnp.concatenate(parts_v, axis=1)          # (nb, WA*WB, br, bc)
     c, v, rn = _dedup_blocks(cand_cols, cand_vals, cand_valid,
                              B.n_block_cols)
     if width is None:
@@ -153,24 +163,36 @@ def spgemm_bell(A: BELL, B: BELL, width=None) -> BELL:
 
 
 def _dedup_blocks(cols, vals, valid, n_cols):
-    """dedup_rows generalized to block values (n, W, br, bc)."""
+    """dedup_rows generalized to block values (n, W, br, bc).
+
+    Same scatter-free two-sort scheme as ``rowops.dedup_rows`` (TPU
+    scatters serialize); block payloads ride along as permutation indices
+    resolved by lane gathers.
+    """
     n, W = cols.shape
     sent = jnp.int32(n_cols)
     c = jnp.where(valid, cols.astype(jnp.int32), sent)
     v = jnp.where(valid[:, :, None, None], vals, 0)
-    order = jnp.argsort(c, axis=1)
-    c = jnp.take_along_axis(c, order, axis=1)
-    v = jnp.take_along_axis(v, order[:, :, None, None], axis=1)
-    head = jnp.concatenate(
-        [jnp.ones((n, 1), bool), c[:, 1:] != c[:, :-1]], axis=1)
-    head = head & (c < sent)
-    pos = jnp.maximum(jnp.cumsum(head, axis=1) - 1, 0)
-    rows = jnp.arange(n, dtype=jnp.int32)[:, None]
-    out_vals = jnp.zeros_like(v).at[rows, pos].add(v)
-    out_cols = jnp.zeros_like(c).at[rows, pos].add(jnp.where(head, c, 0))
+    if W == 1:
+        rn = (c[:, 0] < sent).astype(jnp.int32)
+        return jnp.where(c < sent, c, 0), v, rn
+    iota = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[None, :], (n, W))
+    c, perm = jax.lax.sort((c, iota), dimension=1, num_keys=1)
+    v = jnp.take_along_axis(v, perm[:, :, None, None], axis=1)
+    neq = c[:, 1:] != c[:, :-1]
+    head = jnp.concatenate([jnp.ones((n, 1), bool), neq], axis=1) \
+        & (c < sent)
     row_nnz = jnp.sum(head, axis=1).astype(jnp.int32)
+    s = jnp.cumsum(v, axis=1)
+    islast = jnp.concatenate([neq, jnp.ones((n, 1), bool)], axis=1)
+    key = (~islast).astype(jnp.int32)
+    _, c2, pos2 = jax.lax.sort((key, c, iota), dimension=1, num_keys=1,
+                               is_stable=True)
+    s2 = jnp.take_along_axis(s, pos2[:, :, None, None], axis=1)
+    prev = jnp.concatenate([jnp.zeros_like(s2[:, :1]), s2[:, :-1]], axis=1)
+    out_vals = s2 - prev
     k = jnp.arange(W, dtype=jnp.int32)[None, :]
-    tail = k >= row_nnz[:, None]
-    out_vals = jnp.where(tail[:, :, None, None], 0, out_vals)
-    out_cols = jnp.where(tail, 0, out_cols)
+    keep = k < row_nnz[:, None]
+    out_cols = jnp.where(keep, c2, 0)
+    out_vals = jnp.where(keep[:, :, None, None], out_vals, 0)
     return out_cols, out_vals, row_nnz

@@ -261,3 +261,69 @@ class TestDIA:
         ml.solve(jnp.zeros(256), x0=x0, maxiter=8, tol=1e-12,
                  residuals=res1)
         np.testing.assert_allclose(res0, res1, rtol=1e-9)
+
+
+class TestDedupParity:
+    """Device (two-sort scatter-free) vs host dedup must agree exactly on
+    structure and to rounding on values."""
+
+    def test_dedup_rows_device_vs_host_fuzz(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from pyamg_tpu.ops.rowops import dedup_rows, dedup_rows_host
+        rng = np.random.default_rng(7)
+        for _ in range(30):
+            n = int(rng.integers(1, 40))
+            W = int(rng.integers(1, 12))
+            ncols = int(rng.integers(1, 30))
+            cols = rng.integers(0, ncols, (n, W)).astype(np.int32)
+            vals = rng.standard_normal((n, W))
+            valid = rng.random((n, W)) < 0.7
+            c1, v1, r1 = dedup_rows_host(cols, vals, valid, ncols)
+            c2, v2, r2 = dedup_rows(jnp.asarray(cols), jnp.asarray(vals),
+                                    jnp.asarray(valid), ncols)
+            np.testing.assert_array_equal(c1, np.asarray(c2))
+            np.testing.assert_array_equal(r1, np.asarray(r2))
+            np.testing.assert_allclose(v1, np.asarray(v2), atol=1e-12)
+
+    def test_dedup_rows_device_complex(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from pyamg_tpu.ops.rowops import dedup_rows, dedup_rows_host
+        rng = np.random.default_rng(3)
+        cols = rng.integers(0, 9, (12, 6)).astype(np.int32)
+        vals = rng.standard_normal((12, 6)) + 1j * rng.standard_normal((12, 6))
+        valid = rng.random((12, 6)) < 0.8
+        c1, v1, r1 = dedup_rows_host(cols, vals, valid, 9)
+        c2, v2, r2 = dedup_rows(jnp.asarray(cols), jnp.asarray(vals),
+                                jnp.asarray(valid), 9)
+        np.testing.assert_array_equal(c1, np.asarray(c2))
+        np.testing.assert_allclose(v1, np.asarray(v2), atol=1e-12)
+
+    def test_spgemm_traced_matches_scipy(self):
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from pyamg_tpu.gallery import poisson
+        from pyamg_tpu.sparse.matrix import ELL, to_scipy
+        from pyamg_tpu.ops.spgemm import _expand
+        from pyamg_tpu.ops.rowops import dedup_rows
+        A = poisson((9, 9)).astype(jnp.float64)
+        S = to_scipy(A).tocsr()
+
+        @jax.jit
+        def ap(ac, av, arn, bc, bv, brn):
+            Aj = ELL(ac, av, arn, A.shape)
+            Bj = ELL(bc, bv, brn, A.shape)
+            cc, vv, ok = _expand(Aj, Bj)
+            return dedup_rows(cc, vv, ok, A.shape[1])
+
+        c, v, rn = ap(jnp.asarray(A.cols), jnp.asarray(A.vals),
+                      jnp.asarray(A.row_nnz), jnp.asarray(A.cols),
+                      jnp.asarray(A.vals), jnp.asarray(A.row_nnz))
+        C = (S @ S).tocsr(); C.sort_indices()
+        rn = np.asarray(rn)
+        np.testing.assert_array_equal(rn, np.diff(C.indptr))
+        k = np.arange(c.shape[1])[None, :] < rn[:, None]
+        np.testing.assert_array_equal(np.asarray(c)[k], C.indices)
+        np.testing.assert_allclose(np.asarray(v)[k], C.data, rtol=1e-12)
