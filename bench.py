@@ -52,13 +52,18 @@ def main():
     levels = len(ml.levels)
     opc = float(ml.operator_complexity())
 
-    # SpGEMM throughput (setup-phase op, host scipy path by design)
+    # SpGEMM throughput. Host path (scipy SMMP) is what setup uses for
+    # host-resident matrices (the axon tunnel moves ~40 MB/s, so
+    # round-tripping host data through the chip loses); the device path
+    # (ops/spgemm._expand + rowops.dedup_rows, scatter-free two-sort) is
+    # what traced/device-resident setup (distributed shard_map) uses, and
+    # is timed in-jit on device-resident operands like SpMV.
     P = ml.levels[0].P
     R = ml.levels[0].R
     t0 = time.perf_counter()
     Ac = spgemm(R, spgemm(A64.astype(jnp.float32), P))
     t_rap = time.perf_counter() - t0
-    spgemm_nnz_s = (nnz * P.width + Ac.nnz * R.width) / t_rap
+    spgemm_host_nnz_s = (nnz * P.width + Ac.nnz * R.width) / t_rap
 
     ml.compress_stencils()                     # DIA + PhaseStencil layouts
     ml.to_device(dev)
@@ -67,9 +72,43 @@ def main():
     b = rng.standard_normal(n)
     b32 = jax.device_put(jnp.asarray(b, jnp.float32), dev)
 
+    # --- device SpGEMM: in-jit loop on device-resident A@P (the traced /
+    # distributed-setup production path)
+    from pyamg_tpu.sparse.matrix import ELL, from_scipy
+    from pyamg_tpu.ops.spgemm import _expand
+    from pyamg_tpu.ops.rowops import dedup_rows
+    A_ell = from_scipy(As.astype(np.float32))
+    P_ell = from_scipy(to_scipy(P).tocsr().astype(np.float32))
+    KG = 50
+    n_pc = P_ell.shape[1]
+
+    @jax.jit
+    def spgemm_loop(ac, av, arn, bc, bv, brn):
+        def body(i, carry):
+            av2, acc = carry
+            cc, vv, ok = _expand(ELL(ac, av2, arn, A_ell.shape),
+                                 ELL(bc, bv, brn,
+                                     (A_ell.shape[1], n_pc)))
+            c, v, rn = dedup_rows(cc, vv, ok, n_pc)
+            return av2 * jnp.float32(0.9999), acc + v[:, 0]
+        _, acc = jax.lax.fori_loop(
+            0, KG, body, (av, jnp.zeros(A_ell.shape[0], jnp.float32)))
+        return acc
+
+    gargs = [jax.device_put(jnp.asarray(x), dev) for x in
+             (A_ell.cols, A_ell.vals, A_ell.row_nnz,
+              P_ell.cols, P_ell.vals, P_ell.row_nnz)]
+    jax.block_until_ready(np.asarray(spgemm_loop(*gargs)[:8]))
+    t0 = time.perf_counter()
+    _ = np.asarray(spgemm_loop(*gargs)[:8])
+    t_spgemm_dev = (time.perf_counter() - t0) / KG
+    spgemm_dev_mult_s = (n * A_ell.width * P_ell.width) / t_spgemm_dev
+
     # --- SpMV throughput: banded (DIA) f32 fine operator, loop in one jit
+    # (K large: per-iteration loop overhead on v5e is ~0.2-0.4 us but the
+    # axon dispatch floor only amortizes past ~1000 iterations)
     A_dev = ml.levels[0].A
-    K = 100
+    K = 1000
 
     @jax.jit
     def spmv_loop(A, x):
@@ -83,6 +122,23 @@ def main():
     t_spmv = (time.perf_counter() - t0) / K
     spmv_nnz_s = nnz / t_spmv
 
+    # bytes-moved model for the banded fine SpMV: stored diagonals once,
+    # x read once, y written once (XLA fuses shifted slices into one
+    # streaming pass); v5e HBM peak 819 GB/s
+    HBM_PEAK = 819e9
+
+    def _bytes_of(M):
+        tot = 0
+        for name in ("vals", "data", "cols", "offsets"):
+            arr = getattr(M, name, None)
+            if arr is not None and hasattr(arr, "nbytes"):
+                tot += arr.nbytes
+        return tot
+
+    spmv_bytes = _bytes_of(A_dev) + 2 * n * 4
+    spmv_gb_s = spmv_bytes / t_spmv / 1e9
+    spmv_pct_hbm = 100.0 * spmv_bytes / t_spmv / HBM_PEAK
+
     # --- V-cycle time (one jit application)
     cyc = ml._get_cycle("V")
     dyn = ml._dyn()
@@ -94,6 +150,17 @@ def main():
         out = vcycle(dyn, z, b32)
     jax.block_until_ready(out)
     t_cycle = (time.perf_counter() - t0) / 10
+
+    # V(1,1) bytes model: per level, 3 A-passes (pre-smooth, residual,
+    # post-smooth) + one P and one R pass + ~8 vector passes
+    vcycle_bytes = 0
+    for lv in ml.levels:
+        nl = lv.A.shape[0]
+        vcycle_bytes += 3 * _bytes_of(lv.A) + 8 * nl * 4
+        if getattr(lv, "P", None) is not None:
+            vcycle_bytes += _bytes_of(lv.P) + _bytes_of(lv.R)
+    vcycle_gb_s = vcycle_bytes / t_cycle / 1e9
+    vcycle_pct_hbm = 100.0 * vcycle_bytes / t_cycle / HBM_PEAK
 
     # --- headline: mixed-precision solve to true rel-res 1e-10 (warm)
     inner_iters = []
@@ -142,9 +209,14 @@ def main():
         "outer_iterations": len(res_out) - 1,
         "inner_cg_iterations": inner,
         "spmv_gnnz_per_s": spmv_nnz_s / 1e9,
-        "spgemm_gnnz_proxy_per_s": spgemm_nnz_s / 1e9,
+        "spmv_gb_per_s": spmv_gb_s,
+        "spmv_pct_hbm_peak": spmv_pct_hbm,
+        "spgemm_device_gnnz_per_s": spgemm_dev_mult_s / 1e9,
+        "spgemm_host_gnnz_per_s": spgemm_host_nnz_s / 1e9,
         "scipy_spmv_gnnz_per_s": scipy_nnz_s / 1e9,
         "vcycle_ms": t_cycle * 1e3,
+        "vcycle_gb_per_s": vcycle_gb_s,
+        "vcycle_pct_hbm_peak": vcycle_pct_hbm,
         "setup_s": setup_time,
         "levels": levels,
         "operator_complexity": opc,
