@@ -206,10 +206,27 @@ def adaptive_sa_solver(A, initial_candidates=None, symmetry="hermitian",
             x = ml.solve(b, x0=B[:, i], maxiter=candidate_iters,
                          tol=1e-16, cycle="V")
             work[0] += sum(l.A.nnz for l in ml.levels) * candidate_iters
+            if do_elim and len(ml.levels) > 1:
+                # reference applies elimination inside the improvement
+                # loop as well (adaptive.py:324)
+                x = jnp.asarray(eliminate_local_candidates(
+                    x, ml.levels[0].AggOp, ml.levels[0].A,
+                    ml.levels[0].T, **elim_opts), A.dtype)
             nrm = jnp.linalg.norm(x)
             newB.append(x / jnp.where(nrm == 0, 1, nrm))
         B = jnp.stack(newB, axis=1)
         ml = build(B)
         work[0] += sum(l.A.nnz for l in ml.levels)
+
+    if do_elim and not keep:
+        # elimination forced keep=True on the working hierarchies; honor
+        # the caller's keep flag on the returned solver
+        for lvl in ml.levels:
+            for attr in ("AggOp", "T", "C"):
+                if hasattr(lvl, attr):
+                    try:
+                        delattr(lvl, attr)
+                    except AttributeError:
+                        pass
 
     return ml, float(work[0])

@@ -338,8 +338,10 @@ def _air_solve(Acols, Avals, Arow_nnz, n_cols, nbrs, cpts,
     # solve A_sys^T r = b  (A_sys[b,j,i] = A[N_j,N_i]; need sum_j r_j A[N_j,N_i] = b_i)
     At = jnp.swapaxes(A_sys, 1, 2)
     if use_gmres:
-        r = _dense_gmres_batch(At, b, m=min(int(maxiter), M),
-                               precondition=precondition)
+        # maxiter=0 means "use the full dimension" (reference
+        # krylov.h:214 dense_GMRES semantics)
+        m = M if int(maxiter) == 0 else min(int(maxiter), M)
+        r = _dense_gmres_batch(At, b, m=m, precondition=precondition)
     else:
         r = jnp.linalg.solve(At, b[..., None])[..., 0]
     return r, ok
@@ -354,6 +356,13 @@ def local_air(A: ELL, splitting, theta=0.1, norm="abs", degree=1,
     local systems are solved by batched dense GMRES(maxiter) as in the
     reference (``air.h:212-328`` + ``krylov.h:214``)."""
     if isinstance(A, BELL):
+        if use_gmres:
+            import warnings
+            warnings.warn("block lAIR always uses the exact batched "
+                          "direct solve; use_gmres/maxiter/precondition "
+                          "are ignored for BSR operators (at least as "
+                          "accurate as the reference's dense_GMRES "
+                          "option, block_approx_ideal_restriction_pass2)")
         return _local_air_bsr(A, splitting, theta, norm, degree)
     C = classical_strength_of_connection(A, theta=theta, block=False,
                                          norm=norm)

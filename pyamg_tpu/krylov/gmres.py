@@ -254,8 +254,12 @@ def gmres_householder(A, b, x0=None, tol=1e-5, restart=None, maxiter=None,
     Householder reflectors (``amg_core/krylov.h:38,107``).  On TPU that
     per-entry reflector chain is sequential and gather-bound, so this runs
     the same matmul-shaped CGS2 Arnoldi cycle — which delivers
-    Householder-class orthogonality (see ``tests/test_krylov.py``
-    ill-conditioned parity case) at MXU speed.
+    Householder-class orthogonality (tests/test_krylov.py asserts
+    ``||V^H V - I||`` parity on ill-conditioned cases) at MXU speed.  A
+    ``PendingDeprecationWarning``-style notice is NOT raised here because
+    this name is an intentional algorithm substitution; it IS raised from
+    the ``gmres(orthog='householder')`` dispatcher where the reference
+    would behave numerically differently per-iterate.
     """
     return gmres_mgs(A, b, x0=x0, tol=tol, restart=restart, maxiter=maxiter,
                      M=M, callback=callback, residuals=residuals,
@@ -265,7 +269,19 @@ def gmres_householder(A, b, x0=None, tol=1e-5, restart=None, maxiter=None,
 def gmres(A, b, x0=None, tol=1e-5, restart=None, maxiter=None, M=None,
           callback=None, residuals=None, orthog="mgs", restrt=None, **kwargs):
     """GMRES dispatcher (reference ``_gmres.py``): orthog in
-    {'mgs', 'householder', 'cgs2'} all map to the CGS2 device cycle."""
+    {'mgs', 'householder', 'cgs2'} all map to the CGS2 device cycle.
+
+    ``orthog='householder'`` warns: iterates match the reference only at
+    the convergence level (same Krylov space, different orthogonalization
+    rounding), not bitwise.
+    """
+    if orthog == "householder":
+        import warnings
+        warnings.warn("orthog='householder' runs the CGS2 Arnoldi cycle "
+                      "on TPU (reflector chains are sequential); iterates "
+                      "agree with the reference's Householder variant at "
+                      "convergence-behavior level, not bitwise",
+                      stacklevel=2)
     return gmres_mgs(A, b, x0=x0, tol=tol, restart=restart, maxiter=maxiter,
                      M=M, callback=callback, residuals=residuals,
                      restrt=restrt)

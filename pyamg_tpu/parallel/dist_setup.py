@@ -1,0 +1,753 @@
+"""Distributed (sharded) SA setup phase — build the hierarchy without ever
+materializing a global matrix on one host.
+
+The reference has no distributed layer at all (SURVEY.md §0: every setup
+kernel is a serial C++ loop, e.g. ``smoothed_aggregation.h:138``), so this
+is new TPU-native design.  The classic ghost-zone / "communication
+package" idea (hypre, ML/MueLu) rebuilt for shard_map + static shapes:
+
+* the fine operator is 1-D row-block partitioned over mesh axis ``'rows'``
+  with *global* column indices; each device builds its own row block
+  (``dist_stencil_grid``) — there is never a full (n, W) host array;
+* every cross-shard access is a *ghost-margin* exchange: each shard
+  ``ppermute``s its first/last ``g`` rows to ring neighbours, giving an
+  extended view ``[prev_g | local | next_g]``.  The margin ``g`` is the
+  operator's true coupling reach (one scalar reduction per level), so the
+  plan is static per level and the traffic is ring-neighbour only;
+* aggregation is restricted to shard-local aggregates (MIS-2 Luby rounds
+  + label propagation on the local strength graph).  Aggregates never
+  cross shard boundaries — the standard distributed-AMG compromise; the
+  quality cost is a slightly higher aggregate count along the (measure
+  zero) partition boundary;
+* each shard owns a static block of ``C_cap`` coarse ids (global coarse id
+  = shard * C_cap + local aggregate).  Unused slots become identity rows
+  of the coarse operator — the static-shape price, accounted for in the
+  complexity numbers;
+* Galerkin ``R (A P)`` runs the scatter-free device SpGEMM
+  (``ops.rowops.dedup_rows``) per shard in column chunks (bounded peak
+  memory), with ghost-exchanged P / AP rows; ``R = P^T`` is a per-shard
+  transpose of the ghost-extended P restricted to locally-owned coarse
+  columns.
+
+Solve phase: ``DistHierarchy.vcycle``/``cg_solve`` run the whole cycle
+under one shard_map (per-shard SpMV with margin exchange, ``psum`` dots).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+try:
+    from jax import shard_map
+except ImportError:                                   # older jax
+    from jax.experimental.shard_map import shard_map
+
+from pyamg_tpu.ops.rowops import dedup_rows
+
+
+# --------------------------------------------------------------------------
+# per-shard primitives (used inside shard_map bodies)
+# --------------------------------------------------------------------------
+
+
+def _vary(*xs):
+    """Mark constants as 'rows'-varying for shard_map loop carries."""
+    out = tuple(lax.pcast(x, ("rows",), to="varying") for x in xs)
+    return out if len(out) > 1 else out[0]
+
+def _ext_rows(x, g: int, ndev: int):
+    """[prev devices' last g rows | x | next devices' first g rows].
+
+    Multi-hop ring exchange: when ``g`` exceeds the shard size (coarse
+    levels with sparse global numbering), whole neighbour blocks are
+    relayed ``ceil(g / n_loc)`` hops.  Ring edges receive zeros.
+    """
+    if g == 0 or ndev == 1:
+        return jnp.pad(x, [(g, g)] + [(0, 0)] * (x.ndim - 1))
+    n_loc = x.shape[0]
+    hops = -(-g // n_loc)
+    up = [(e, e + 1) for e in range(ndev - 1)]
+    down = [(e, e - 1) for e in range(1, ndev)]
+    prev_blocks, next_blocks = [], []
+    cur_p, cur_n = x, x
+    for _ in range(hops):
+        cur_p = lax.ppermute(cur_p, "rows", up)      # cur_p[e] = x[e-h]
+        cur_n = lax.ppermute(cur_n, "rows", down)    # cur_n[e] = x[e+h]
+        prev_blocks.insert(0, cur_p)
+        next_blocks.append(cur_n)
+    prev = jnp.concatenate(prev_blocks, axis=0)[-g:] if hops else x[:0]
+    nxt = jnp.concatenate(next_blocks, axis=0)[:g] if hops else x[:0]
+    return jnp.concatenate([prev, x, nxt], axis=0)
+
+
+def _gather_ext(x_ext, cols_g, base, valid):
+    """out[i, k] = x_ext[cols_g[i, k] - base] where valid & in range.
+
+    Unrolled 1-D gathers per slot (2-D indexed gathers defeat XLA's TPU
+    row-gather tiling; see ops/spgemm._expand).
+    """
+    idx = cols_g - base
+    ok = valid & (idx >= 0) & (idx < x_ext.shape[0])
+    idxc = jnp.clip(idx, 0, x_ext.shape[0] - 1)
+    parts = [x_ext[idxc[:, j]] for j in range(idxc.shape[1])]
+    out = jnp.stack(parts, axis=1)
+    return jnp.where(ok if out.ndim == ok.ndim
+                     else ok[(...,) + (None,) * (out.ndim - ok.ndim)],
+                     out, 0), ok
+
+
+def _neighbor_max(cols_loc, ok, x):
+    """max over (local-graph) neighbors incl. self of per-node values."""
+    g, okg = _gather_ext(x, cols_loc, 0, ok)
+    return jnp.maximum(x, jnp.max(jnp.where(okg, g, -jnp.inf), axis=1))
+
+
+def _spmv_shard(vals, cols_g, valid, x_ext, base):
+    g, _ = _gather_ext(x_ext, cols_g, base, valid)
+    return jnp.sum(jnp.where(valid, vals, 0) * g, axis=1)
+
+
+def _spgemm_shard(a_cols, a_vals, a_ok, b_cols_ext, b_vals_ext, b_ok_ext,
+                  base, n_cols_out, out_width, chunk=8):
+    """Per-shard C = A @ B_ext with global output columns, chunked over A
+    slots so peak candidate width stays ~chunk*WB + out_width."""
+    n, WA = a_cols.shape
+    WB = b_cols_ext.shape[1]
+    acc_c = jnp.zeros((n, out_width), jnp.int32)
+    acc_v = jnp.zeros((n, out_width), b_vals_ext.dtype)
+    acc_ok = jnp.zeros((n, out_width), bool)
+    for j0 in range(0, WA, chunk):
+        j1 = min(j0 + chunk, WA)
+        parts_c, parts_v, parts_ok = [acc_c], [acc_v], [acc_ok]
+        for j in range(j0, j1):
+            idx = a_cols[:, j] - base
+            ok_j = a_ok[:, j] & (idx >= 0) & (idx < b_cols_ext.shape[0])
+            idxc = jnp.clip(idx, 0, b_cols_ext.shape[0] - 1)
+            parts_c.append(b_cols_ext[idxc])
+            parts_v.append(a_vals[:, j:j + 1] * b_vals_ext[idxc])
+            parts_ok.append(ok_j[:, None] & b_ok_ext[idxc])
+        cc = jnp.concatenate(parts_c, axis=1)
+        vv = jnp.concatenate(parts_v, axis=1)
+        ok = jnp.concatenate(parts_ok, axis=1)
+        c, v, rn = dedup_rows(cc, vv, ok, n_cols_out)
+        k = jnp.arange(c.shape[1], dtype=jnp.int32)[None, :]
+        keep = k < rn[:, None]
+        acc_c = c[:, :out_width]
+        acc_v = v[:, :out_width]
+        acc_ok = keep[:, :out_width]
+        # overflow slots (rn > out_width) are dropped; tracked by caller
+    return acc_c, acc_v, acc_ok
+
+
+def _transpose_shard(p_cols_ext, p_vals_ext, p_ok_ext, col0, c_cap,
+                     out_width):
+    """R = P_ext^T restricted to coarse cols [col0, col0+c_cap).
+
+    Output columns are *extended fine row indices* (matching the row
+    numbering of any ghost-extended per-shard array).  Sort-based: flatten
+    triples, sort by local coarse id, rank within run, scatter.
+    """
+    ne, WP = p_cols_ext.shape
+    c_loc = p_cols_ext - col0
+    ok = p_ok_ext & (c_loc >= 0) & (c_loc < c_cap)
+    key = jnp.where(ok, c_loc, c_cap).reshape(-1).astype(jnp.int32)
+    iext = jnp.broadcast_to(
+        jnp.arange(ne, dtype=jnp.int32)[:, None], (ne, WP)).reshape(-1)
+    vals = jnp.where(ok, p_vals_ext, 0).reshape(-1)
+    key_s, iext_s, vals_s = lax.sort((key, iext, vals), dimension=0,
+                                     num_keys=1, is_stable=True)
+    idx = jnp.arange(key_s.shape[0], dtype=jnp.int32)
+    head = jnp.concatenate([jnp.ones((1,), bool), key_s[1:] != key_s[:-1]])
+    run_start = lax.cummax(jnp.where(head, idx, 0))
+    rank = idx - run_start
+    keep = (key_s < c_cap) & (rank < out_width)
+    # non-kept entries get an out-of-range target and are dropped — a
+    # plain (0, 0) fallback would clobber coarse slot [0, 0]
+    rk = jnp.where(keep, rank, out_width)
+    kk = jnp.where(keep, key_s, c_cap)
+    r_cols = jnp.zeros((c_cap, out_width), jnp.int32)
+    r_vals = jnp.zeros((c_cap, out_width), vals.dtype)
+    r_ok = jnp.zeros((c_cap, out_width), bool)
+    r_cols = r_cols.at[kk, rk].set(iext_s, mode="drop")
+    r_vals = r_vals.at[kk, rk].set(vals_s, mode="drop")
+    r_ok = r_ok.at[kk, rk].set(keep, mode="drop")
+    dropped = jnp.sum((key_s < c_cap) & (rank >= out_width))
+    return r_cols, r_vals, r_ok, dropped
+
+
+def _mis2_local(cols_loc, ok, gid, n_loc, max_rounds=40):
+    """Luby distance-2 MIS on the shard-local graph; returns root mask."""
+    w0 = ((gid.astype(jnp.uint32) * jnp.uint32(2654435761)) >> 1)\
+        .astype(jnp.int32)
+
+    def round_(state):
+        active, roots, it = state
+        wa = jnp.where(active, w0, -1)
+        m1 = _neighbor_max(cols_loc, ok, wa)
+        m2 = _neighbor_max(cols_loc, ok, m1)
+        new_roots = active & (wa == m2) & (wa >= 0)
+        r1 = _neighbor_max(cols_loc, ok,
+                           jnp.where(new_roots | roots, 1, 0))
+        r2 = _neighbor_max(cols_loc, ok, r1)
+        return (active & (r2 < 1), roots | new_roots, it + 1)
+
+    def cond(state):
+        active, _, it = state
+        return jnp.any(active) & (it < max_rounds)
+
+    active0, roots0 = _vary(jnp.ones((n_loc,), bool),
+                            jnp.zeros((n_loc,), bool))
+    _, roots, _ = lax.while_loop(cond, round_, (active0, roots0, 0))
+    return roots
+
+
+def _propagate_local(cols_loc, ok, w, lab, rounds=4):
+    for _ in range(rounds):
+        labs, okg = _gather_ext(lab, cols_loc, 0, ok)
+        # invalid gather slots fill with 0, which is a real label — mask
+        okl = okg & (jnp.where(okg, labs, -1) >= 0)
+        score = jnp.where(okl, w, -jnp.inf)
+        j = jnp.argmax(score, axis=1)
+        best_ok = jnp.take_along_axis(okl, j[:, None], axis=1)[:, 0]
+        best = jnp.take_along_axis(labs, j[:, None], axis=1)[:, 0]
+        lab = jnp.where((lab < 0) & best_ok, best, lab)
+    return lab
+
+
+# --------------------------------------------------------------------------
+# sharded containers
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class DistLevel:
+    """One sharded level: (ndev*n_loc, W)-padded arrays, global columns."""
+    cols: jax.Array            # (n, W) int32, global columns
+    vals: jax.Array            # (n, W)
+    ok: jax.Array              # (n, W) bool valid mask
+    n_loc: int                 # rows per shard
+    g: int                     # ghost margin (rows) of this operator
+    Dinv: jax.Array = None     # (n,) inverse diagonal
+    # transfer ops (set on all but the coarsest level)
+    p_cols: jax.Array = None   # (n, WP) global coarse cols
+    p_vals: jax.Array = None
+    p_ok: jax.Array = None
+    r_cols: jax.Array = None   # (n_coarse, WR) *extended fine* cols
+    r_vals: jax.Array = None
+    r_ok: jax.Array = None
+    omega: float = None        # damped-Jacobi weight (omega/rho folded in)
+
+    @property
+    def n(self):
+        return self.cols.shape[0]
+
+    def nnz(self):
+        return int(jnp.sum(self.ok))
+
+
+@dataclasses.dataclass
+class DistHierarchy:
+    levels: List[DistLevel]
+    mesh: Mesh
+    coarse_dense: jax.Array            # replicated dense coarsest operator
+    coarse_n: int
+    diagnostics: dict
+
+    def operator_complexity(self):
+        fine = self.levels[0].nnz()
+        return sum(l.nnz() for l in self.levels) / max(fine, 1)
+
+    # ---------------- solve phase ----------------
+    def _vcycle_shard(self, levs, x, b, nu=2):
+        """Per-shard V(nu,nu) cycle; levs = per-shard pytrees list."""
+        mesh_n = int(self.mesh.devices.size)
+
+        def smooth(L, meta, x, b, sweeps):
+            cols, vals, ok, Dinv = L["cols"], L["vals"], L["ok"], L["Dinv"]
+            g = meta["g"]
+            for _ in range(sweeps):
+                x_ext = _ext_rows(x, g, mesh_n)
+                base = meta["base"] - g
+                r = b - _spmv_shard(vals, cols, ok, x_ext, base)
+                x = x + meta["omega"] * Dinv * r
+            return x
+
+        def cycle(l, x, b):
+            L, meta = levs[l]
+            if l == len(levs) - 1:
+                # replicated dense coarse solve: all-gather b
+                bg = lax.all_gather(b, "rows").reshape(-1)
+                xg = self._coarse_op @ bg
+                sh = b.shape[0]
+                dev = lax.axis_index("rows")
+                return lax.dynamic_slice_in_dim(xg, dev * sh, sh)
+            x = smooth(L, meta, x, b, nu)
+            g = meta["g"]
+            x_ext = _ext_rows(x, g, mesh_n)
+            r = b - _spmv_shard(L["vals"], L["cols"], L["ok"], x_ext,
+                                meta["base"] - g)
+            # restrict: R cols are extended-fine indices of r_ext
+            r_ext = _ext_rows(r, g, mesh_n)
+            bc = jnp.sum(jnp.where(L["r_ok"], L["r_vals"], 0) *
+                         jnp.stack([r_ext[L["r_cols"][:, j]]
+                                    for j in range(L["r_cols"].shape[1])],
+                                   axis=1), axis=1)
+            xc = cycle(l + 1, jnp.zeros_like(bc), bc)
+            # prolong: P cols are global coarse ids of the next level
+            Lc, metac = levs[l + 1]
+            gc = metac["g"]
+            xc_ext = _ext_rows(xc, gc, mesh_n)
+            e = _spmv_shard(L["p_vals"], L["p_cols"], L["p_ok"], xc_ext,
+                            metac["base"] - gc)
+            x = x + e
+            return smooth(L, meta, x, b, nu)
+
+        return cycle(0, x, b)
+
+    def _shard_pytrees(self):
+        """Split level arrays into per-shard dicts + static meta (inside
+        shard_map the arrays arrive as local blocks; meta carries the
+        global base offset as a traced scalar)."""
+        out = []
+        for l, L in enumerate(self.levels):
+            d = {"cols": L.cols, "vals": L.vals, "ok": L.ok,
+                 "Dinv": L.Dinv}
+            if L.p_cols is not None:
+                d.update(p_cols=L.p_cols, p_vals=L.p_vals, p_ok=L.p_ok,
+                         r_cols=L.r_cols, r_vals=L.r_vals, r_ok=L.r_ok)
+            out.append((d, {"g": L.g, "omega": L.omega, "n_loc": L.n_loc}))
+        return out
+
+    def solve_cg(self, b, tol=1e-8, maxiter=100, nu=2):
+        """Distributed V-cycle-preconditioned CG, one jitted shard_map."""
+        mesh = self.mesh
+        ndev = int(mesh.devices.size)
+        levels = self._shard_pytrees()
+        self._coarse_op = self.coarse_dense
+
+        arrays = [d for d, _ in levels]
+        metas = [m for _, m in levels]
+
+        def body(b_sh, *arrs):
+            dev = lax.axis_index("rows")
+            levs = []
+            for d0, m in zip(arrs, metas):
+                meta = dict(m)
+                meta["base"] = dev * m["n_loc"]
+                meta["omega"] = m["omega"]
+                levs.append((d0, meta))
+
+            def Amv(x):
+                L, meta = levs[0]
+                x_ext = _ext_rows(x, meta["g"], ndev)
+                return _spmv_shard(L["vals"], L["cols"], L["ok"], x_ext,
+                                   meta["base"] - meta["g"])
+
+            def Mmv(r):
+                return self._vcycle_shard(levs, jnp.zeros_like(r), r, nu=nu)
+
+            def dot(u, v):
+                return lax.psum(jnp.vdot(u, v), "rows")
+
+            x = jnp.zeros_like(b_sh)
+            r = b_sh
+            z = Mmv(r)
+            p = z
+            rz = dot(r, z)
+            bnorm = jnp.sqrt(dot(b_sh, b_sh))
+
+            def cg_round(state):
+                x, r, p, rz, it = state
+                Ap = Amv(p)
+                alpha = rz / dot(p, Ap)
+                x = x + alpha * p
+                r = r - alpha * Ap
+                z = Mmv(r)
+                rz_new = dot(r, z)
+                p = z + (rz_new / rz) * p
+                return (x, r, p, rz_new, it + 1)
+
+            def cond(state):
+                x, r, p, rz, it = state
+                return (jnp.sqrt(dot(r, r)) > tol * bnorm) & (it < maxiter)
+
+            x, r, _, _, it = lax.while_loop(
+                cond, cg_round, (x, r, p, rz, jnp.int32(0)))
+            return x, jnp.sqrt(dot(r, r)) / bnorm, it
+
+        specs_in = []
+        for d in arrays:
+            specs_in.append({k: P("rows", *([None] * (v.ndim - 1)))
+                             for k, v in d.items()})
+        f = shard_map(body, mesh=mesh,
+                      in_specs=(P("rows"),) + tuple(specs_in),
+                      out_specs=(P("rows"), P(), P()))
+        x, relres, it = jax.jit(f)(b, *arrays)
+        return x, float(relres), int(it)
+
+
+# --------------------------------------------------------------------------
+# sharded gallery: per-shard construction of a stencil-grid operator
+# --------------------------------------------------------------------------
+
+def dist_stencil_grid(stencil, grid, mesh: Mesh, dtype=jnp.float32):
+    """Row-block-sharded ``stencil_grid`` — each shard builds only its own
+    rows (never a global host array).  Returns (cols, vals, ok) sharded
+    jax arrays with global columns, plus n_loc.
+
+    Equivalent operator to ``gallery.stencil_grid(stencil, grid)``
+    (reference ``pyamg/gallery/stencil.py:8``), Dirichlet truncation.
+    """
+    stencil = np.asarray(stencil)
+    grid = tuple(int(g) for g in grid)
+    n = int(np.prod(grid))
+    ndev = int(mesh.devices.size)
+    n_loc = -(-n // ndev)
+    n_pad = n_loc * ndev
+    offs_nd = np.argwhere(np.ones(stencil.shape)) - \
+        (np.asarray(stencil.shape) // 2)
+    svals = stencil.ravel()
+    keep = svals != 0
+    offs_nd = offs_nd[keep]
+    svals = svals[keep]
+    strides = np.cumprod((grid[1:] + (1,))[::-1])[::-1]
+    W = len(svals)
+
+    shards = []
+    sh = NamedSharding(mesh, P("rows", None))
+    for d, dev in enumerate(mesh.devices.ravel()):
+        r0, r1 = d * n_loc, min((d + 1) * n_loc, n)
+        rows = np.arange(r0, max(r1, r0))
+        # nd index of each row
+        idx = np.empty((len(rows), len(grid)), np.int64)
+        rem = rows.copy()
+        for axis, s in enumerate(strides):
+            idx[:, axis] = rem // s
+            rem = rem % s
+        cols = np.zeros((n_loc, W), np.int32)
+        vals = np.zeros((n_loc, W), jnp.zeros((), dtype).dtype)
+        ok = np.zeros((n_loc, W), bool)
+        for k, (off, sv) in enumerate(zip(offs_nd, svals)):
+            tgt = idx + off[None, :]
+            inside = np.all((tgt >= 0) & (tgt < np.asarray(grid)[None, :]),
+                            axis=1)
+            col = (tgt * strides[None, :]).sum(axis=1)
+            m = len(rows)
+            cols[:m, k] = np.where(inside, col, 0)
+            vals[:m, k] = np.where(inside, sv, 0)
+            ok[:m, k] = inside
+        # identity-pad rows beyond n (global row id = own index)
+        if r1 - r0 < n_loc:
+            pad_rows = np.arange(r0 + (r1 - r0), r0 + n_loc)
+            cols[r1 - r0:, 0] = pad_rows
+            vals[r1 - r0:, 0] = 1
+            ok[r1 - r0:, 0] = True
+        # sort each row by column (ELL invariant) — W is small
+        order = np.argsort(np.where(ok, cols, n_pad), axis=1)
+        cols = np.take_along_axis(cols, order, axis=1)
+        vals = np.take_along_axis(vals, order, axis=1)
+        ok = np.take_along_axis(ok, order, axis=1)
+        shards.append((cols, vals, ok))
+
+    def _assemble(i, dt):
+        return jax.make_array_from_single_device_arrays(
+            (n_pad, W), sh,
+            [jax.device_put(np.asarray(s[i], dt), dev)
+             for s, dev in zip(shards, mesh.devices.ravel())])
+
+    cols = _assemble(0, np.int32)
+    vals = _assemble(1, jnp.zeros((), dtype).dtype)
+    ok = _assemble(2, bool)
+    return cols, vals, ok, n_loc
+
+
+# --------------------------------------------------------------------------
+# the sharded setup driver
+# --------------------------------------------------------------------------
+
+def _margin_of(cols, ok, n_loc, mesh):
+    """Smallest ghost margin covering every cross-row coupling (scalar)."""
+    def body(cols_b, ok_b):
+        dev = lax.axis_index("rows")
+        rows = dev * n_loc + jnp.arange(cols_b.shape[0], dtype=jnp.int32)
+        d = jnp.where(ok_b, jnp.abs(cols_b - rows[:, None]), 0)
+        return lax.pmax(jnp.max(d), "rows")[None]
+
+    f = shard_map(body, mesh=mesh,
+                  in_specs=(P("rows", None), P("rows", None)),
+                  out_specs=P("rows"), check_vma=False)
+    return int(np.max(np.asarray(f(cols, ok))))
+
+
+def distributed_sa_setup(cols, vals, ok, n_loc, mesh: Mesh,
+                         theta=0.0, omega=4.0 / 3.0, max_levels=10,
+                         coarsen_until=4096, coarse_ratio=4,
+                         wp_cap=12, wr_cap=48, wac_cap=24,
+                         rho_iters=8, seed=0):
+    """Build an SA hierarchy from a sharded fine operator.
+
+    Args:
+      cols/vals/ok: (ndev*n_loc, W) sharded arrays, global columns.
+      coarse_ratio: C_cap = n_loc // coarse_ratio coarse slots per shard.
+      wp_cap/wr_cap/wac_cap: static width caps for P / R / A_coarse rows
+        (dropped-entry counts are reported in diagnostics).
+
+    Returns a DistHierarchy.  Reference semantics: strength =
+    ``symmetric_strength_of_connection`` (``smoothed_aggregation.h:56``),
+    aggregation = shard-local MIS-2 + propagation (device counterpart of
+    ``standard_aggregation``, ``smoothed_aggregation.h:138``), tentative =
+    constant-vector ``fit_candidates`` (K=1), prolongation = damped-Jacobi
+    smoothing (``smooth.py:61``), Galerkin triple product.
+    """
+    ndev = int(mesh.devices.size)
+    levels: List[DistLevel] = []
+    diagnostics = {"dropped": [], "nagg": [], "margins": []}
+
+    lvl_cols, lvl_vals, lvl_ok, lvl_nloc = cols, vals, ok, n_loc
+    for lvl_i in range(max_levels):
+        n_glob = lvl_cols.shape[0]
+        g = _margin_of(lvl_cols, lvl_ok, lvl_nloc, mesh)
+        diagnostics["margins"].append(g)
+        if n_glob <= coarsen_until or g >= lvl_nloc \
+                or lvl_nloc // coarse_ratio < 1:
+            break
+        c_cap = max(lvl_nloc // coarse_ratio, 1)
+        W = lvl_cols.shape[1]
+
+        # spectral radius of D^-1 A via distributed power iteration
+        rho = _power_rho(lvl_cols, lvl_vals, lvl_ok, lvl_nloc, g, mesh,
+                         iters=rho_iters, seed=seed + lvl_i)
+
+        out = _level_step(lvl_cols, lvl_vals, lvl_ok, lvl_nloc, g, c_cap,
+                          mesh, theta, omega / max(rho, 1e-30),
+                          wp_cap, wr_cap, wac_cap, seed + lvl_i)
+        (p_cols, p_vals, p_ok, r_cols, r_vals, r_ok,
+         ac_cols, ac_vals, ac_ok, Dinv, nagg, dropped) = out
+
+        L = DistLevel(cols=lvl_cols, vals=lvl_vals, ok=lvl_ok,
+                      n_loc=lvl_nloc, g=g, Dinv=Dinv,
+                      p_cols=p_cols, p_vals=p_vals, p_ok=p_ok,
+                      r_cols=r_cols, r_vals=r_vals, r_ok=r_ok,
+                      omega=float(omega / max(rho, 1e-30)))
+        levels.append(L)
+        diagnostics["nagg"].append(int(np.sum(np.asarray(nagg))))
+        diagnostics["dropped"].append(int(np.sum(np.asarray(dropped))))
+        lvl_cols, lvl_vals, lvl_ok, lvl_nloc = \
+            ac_cols, ac_vals, ac_ok, c_cap
+
+    # coarsest level: replicate + dense factor-free pinv apply
+    g = diagnostics["margins"][-1] if len(levels) == 0 else \
+        _margin_of(lvl_cols, lvl_ok, lvl_nloc, mesh)
+    rho = _power_rho(lvl_cols, lvl_vals, lvl_ok, lvl_nloc, g, mesh,
+                     iters=rho_iters, seed=seed + 99)
+    Dinv_c = _dinv_sharded(lvl_cols, lvl_vals, lvl_ok, lvl_nloc, mesh)
+    Lc = DistLevel(cols=lvl_cols, vals=lvl_vals, ok=lvl_ok,
+                   n_loc=lvl_nloc, g=g, Dinv=Dinv_c,
+                   omega=float(1.0 / max(rho, 1e-30)))
+    levels.append(Lc)
+
+    nc = lvl_cols.shape[0]
+    dense = _densify_replicated(lvl_cols, lvl_vals, lvl_ok, nc)
+    coarse_pinv = jnp.linalg.pinv(dense)
+
+    return DistHierarchy(levels=levels, mesh=mesh,
+                         coarse_dense=coarse_pinv, coarse_n=nc,
+                         diagnostics=diagnostics)
+
+
+def _dinv_sharded(cols, vals, ok, n_loc, mesh):
+    def body(cols_b, vals_b, ok_b):
+        dev = lax.axis_index("rows")
+        rows = dev * n_loc + jnp.arange(cols_b.shape[0], dtype=jnp.int32)
+        hit = ok_b & (cols_b == rows[:, None])
+        d = jnp.sum(jnp.where(hit, vals_b, 0), axis=1)
+        return jnp.where(d != 0, 1.0 / d, 0.0)
+
+    f = shard_map(body, mesh=mesh,
+                  in_specs=(P("rows", None),) * 3, out_specs=P("rows"))
+    return jax.jit(f)(cols, vals, ok)
+
+
+def _power_rho(cols, vals, ok, n_loc, g, mesh, iters=8, seed=0):
+    """rho(D^-1 A) by normalized power iteration (distributed)."""
+    ndev = int(mesh.devices.size)
+    Dinv = _dinv_sharded(cols, vals, ok, n_loc, mesh)
+
+    def body(cols_b, vals_b, ok_b, dinv_b):
+        dev = lax.axis_index("rows")
+        base = dev * n_loc - g
+        key = jax.random.PRNGKey(seed)
+        x = jax.random.normal(jax.random.fold_in(key, dev),
+                              (cols_b.shape[0],), vals_b.dtype)
+
+        def it(i, carry):
+            x, lam = carry
+            x_ext = _ext_rows(x, g, ndev)
+            y = dinv_b * _spmv_shard(vals_b, cols_b, ok_b, x_ext, base)
+            nrm = jnp.sqrt(lax.psum(jnp.vdot(y, y), "rows"))
+            lam = nrm / jnp.maximum(
+                jnp.sqrt(lax.psum(jnp.vdot(x, x), "rows")), 1e-30)
+            return y / jnp.maximum(nrm, 1e-30), lam
+
+        _, lam = lax.fori_loop(0, iters, it,
+                               (x / jnp.sqrt(
+                                   lax.psum(jnp.vdot(x, x), "rows")),
+                                jnp.ones((), vals_b.dtype)))
+        return lam[None]
+
+    f = shard_map(body, mesh=mesh,
+                  in_specs=(P("rows", None), P("rows", None),
+                            P("rows", None), P("rows")),
+                  out_specs=P("rows"), check_vma=False)
+    lam = np.asarray(jax.jit(f)(cols, vals, ok, Dinv))
+    return float(np.max(lam))
+
+
+@partial(jax.jit, static_argnames=("n_loc", "g", "c_cap", "mesh", "theta",
+                                   "wp_cap", "wr_cap", "wac_cap", "seed"))
+def _level_step(cols, vals, ok, n_loc, g, c_cap, mesh, theta, omega_eff,
+                wp_cap, wr_cap, wac_cap, seed):
+    """One sharded SA level: strength -> local aggregation -> T -> P ->
+    AP -> R -> Ac, all inside a single shard_map."""
+    ndev = int(mesh.devices.size)
+
+    def body(cols_b, vals_b, ok_b):
+        dev = lax.axis_index("rows")
+        row0 = dev * n_loc
+        n = cols_b.shape[0]
+        rows_g = row0 + jnp.arange(n, dtype=jnp.int32)
+
+        # diag + Dinv
+        hit = ok_b & (cols_b == rows_g[:, None])
+        diag = jnp.sum(jnp.where(hit, vals_b, 0), axis=1)
+        dinv = jnp.where(diag != 0, 1.0 / diag, 0.0)
+
+        # --- strength (symmetric SOC, smoothed_aggregation.h:56)
+        diag_ext = _ext_rows(diag, g, ndev)
+        dj, okd = _gather_ext(diag_ext, cols_b, row0 - g, ok_b)
+        thr = theta * jnp.sqrt(jnp.abs(diag)[:, None] * jnp.abs(dj))
+        strong = ok_b & okd & (jnp.abs(vals_b) >= thr)
+        offdiag = cols_b != rows_g[:, None]
+        strong = strong & offdiag
+
+        # --- shard-local aggregation (cols localized; remote -> invalid)
+        cols_loc = cols_b - row0
+        loc_ok = strong & (cols_loc >= 0) & (cols_loc < n)
+        cols_loc = jnp.clip(cols_loc, 0, n - 1)
+        roots = _mis2_local(cols_loc, loc_ok, rows_g, n)
+        lab = jnp.where(roots, jnp.cumsum(roots.astype(jnp.int32)) - 1,
+                        -1)
+        w = jnp.where(loc_ok, jnp.abs(vals_b), 0)
+        lab = _propagate_local(cols_loc, loc_ok, w, lab, rounds=4)
+        # stragglers become singleton aggregates
+        nroot = jnp.sum(roots.astype(jnp.int32))
+        strag = lab < 0
+        extra = jnp.cumsum(strag.astype(jnp.int32)) - 1
+        lab = jnp.where(strag, nroot + extra, lab)
+        nagg = nroot + jnp.sum(strag.astype(jnp.int32))
+        overflow_agg = jnp.maximum(nagg - c_cap, 0)
+        lab = jnp.minimum(lab, c_cap - 1)        # clamp overflow (flagged)
+
+        # --- tentative prolongator (K=1 constant candidate, unit columns)
+        sizes = jnp.zeros((c_cap,), vals_b.dtype).at[lab].add(1.0)
+        tval = 1.0 / jnp.sqrt(jnp.maximum(sizes[lab], 1e-30))
+        t_cols = dev * c_cap + lab               # global coarse id
+        t_vals = tval
+
+        # --- P = (I - omega_eff D^-1 A) T  (width <= W+1, dedup'd)
+        t_cols_ext = _ext_rows(t_cols, g, ndev)
+        t_vals_ext = _ext_rows(t_vals, g, ndev)
+        t_ok_ext = _ext_rows(jnp.ones((n,), bool), g, ndev)
+        # candidate from -omega D^-1 A T
+        tj_c, okj = _gather_ext(t_cols_ext, cols_b, row0 - g, ok_b)
+        tj_v, _ = _gather_ext(t_vals_ext, cols_b, row0 - g, ok_b)
+        tj_ok, _ = _gather_ext(t_ok_ext, cols_b, row0 - g, ok_b)
+        cand_c = jnp.concatenate([t_cols[:, None], tj_c], axis=1)
+        cand_v = jnp.concatenate(
+            [t_vals[:, None],
+             -omega_eff * dinv[:, None] * vals_b * tj_v], axis=1)
+        cand_ok = jnp.concatenate(
+            [jnp.ones((n, 1), bool), ok_b & okj & tj_ok], axis=1)
+        pc, pv, prn = dedup_rows(cand_c, cand_v, cand_ok, ndev * c_cap)
+        kk = jnp.arange(pc.shape[1], dtype=jnp.int32)[None, :]
+        p_ok_full = kk < prn[:, None]
+        dropped_p = jnp.sum(jnp.maximum(prn - wp_cap, 0))
+        p_cols = pc[:, :wp_cap]
+        p_vals = pv[:, :wp_cap]
+        p_ok = p_ok_full[:, :wp_cap]
+
+        # --- AP = A @ P_ext   (global coarse cols)
+        p_cols_ext = _ext_rows(p_cols, g, ndev)
+        p_vals_ext = _ext_rows(p_vals, g, ndev)
+        p_ok_ext = _ext_rows(p_ok, g, ndev)
+        ap_c, ap_v, ap_ok = _spgemm_shard(
+            cols_b, vals_b, ok_b, p_cols_ext, p_vals_ext, p_ok_ext,
+            row0 - g, ndev * c_cap, wac_cap)
+
+        # --- R = P_ext^T restricted to local coarse block
+        r_cols, r_vals, r_ok, dropped_r = _transpose_shard(
+            p_cols_ext, p_vals_ext, p_ok_ext, dev * c_cap, c_cap, wr_cap)
+
+        # --- Ac = R @ AP_ext  (R cols are extended-fine indices)
+        ap_c_ext = _ext_rows(ap_c, g, ndev)
+        ap_v_ext = _ext_rows(ap_v, g, ndev)
+        ap_ok_ext = _ext_rows(ap_ok, g, ndev)
+        # R's columns index the *extended* row space directly (base 0):
+        # note ext arrays here are [prev_g | local | next_g] with R built
+        # against the same extension — but R cols refer to *this* level's
+        # ext numbering while ap_*_ext is extended again; R col j maps to
+        # ap_*_ext row j + g? No: R cols index rows of the P extension
+        # [0, n+2g); ap_c (local rows) extended the same way aligns row
+        # i_ext of P_ext with row i_ext of ap_*_ext. Base 0.
+        ac_c, ac_v, ac_ok = _spgemm_shard(
+            r_cols, r_vals, r_ok, ap_c_ext, ap_v_ext, ap_ok_ext,
+            0, ndev * c_cap, wac_cap)
+        # identity rows for unused coarse slots keep smoothers defined
+        slot = jnp.arange(c_cap, dtype=jnp.int32)
+        used = slot < jnp.minimum(nagg, c_cap)
+        own = dev * c_cap + slot
+        ac_c = jnp.where(used[:, None], ac_c,
+                         jnp.concatenate([own[:, None],
+                                          jnp.zeros((c_cap,
+                                                     ac_c.shape[1] - 1),
+                                                    jnp.int32)], axis=1))
+        ident_v = jnp.concatenate(
+            [jnp.ones((c_cap, 1), ac_v.dtype),
+             jnp.zeros((c_cap, ac_v.shape[1] - 1), ac_v.dtype)], axis=1)
+        ac_v = jnp.where(used[:, None], ac_v, ident_v)
+        ident_ok = jnp.concatenate(
+            [jnp.ones((c_cap, 1), bool),
+             jnp.zeros((c_cap, ac_ok.shape[1] - 1), bool)], axis=1)
+        ac_ok = jnp.where(used[:, None], ac_ok, ident_ok)
+
+        dropped = (overflow_agg + dropped_p + dropped_r)[None]
+        return (p_cols, p_vals, p_ok, r_cols, r_vals, r_ok,
+                ac_c, ac_v, ac_ok, dinv, nagg[None],
+                dropped.astype(jnp.int32))
+
+    rowspec2 = P("rows", None)
+    f = shard_map(body, mesh=mesh,
+                  in_specs=(rowspec2, rowspec2, rowspec2),
+                  out_specs=(rowspec2, rowspec2, rowspec2,
+                             rowspec2, rowspec2, rowspec2,
+                             rowspec2, rowspec2, rowspec2,
+                             P("rows"), P("rows"), P("rows")))
+    return f(cols, vals, ok)
+
+
+def _densify_replicated(cols, vals, ok, n):
+    """Small coarsest operator -> replicated dense (n, n)."""
+    def one_hot_row(c_row, v_row, ok_row):
+        oh = (c_row[:, None] ==
+              jnp.arange(n, dtype=jnp.int32)[None, :])
+        return jnp.sum(jnp.where(ok_row[:, None] & oh, v_row[:, None], 0),
+                       axis=0)
+
+    dense = jax.vmap(one_hot_row)(cols, vals, ok)
+    return jax.device_put(np.asarray(dense))

@@ -1,0 +1,117 @@
+"""Distributed (sharded) setup-phase tests on the 8-device CPU mesh.
+
+Validates SURVEY.md §2.3/§5.8: hierarchy construction under shard_map
+with ghost-margin ring exchange, never materializing a global matrix on
+one host, plus the sharded solve path.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import scipy.sparse as sp
+
+
+def _tosp(cols, vals, ok, ncols):
+    cn, vn, okn = np.asarray(cols), np.asarray(vals), np.asarray(ok)
+    rows = np.repeat(np.arange(cn.shape[0]), cn.shape[1])
+    return sp.csr_matrix((vn.ravel()[okn.ravel()],
+                          (rows[okn.ravel()], cn.ravel()[okn.ravel()])),
+                         shape=(cn.shape[0], ncols))
+
+
+def _poisson_sharded(N, dtype=jnp.float64):
+    from pyamg_tpu.parallel.dist_setup import dist_stencil_grid
+    from pyamg_tpu.parallel.partition import make_row_mesh
+    mesh = make_row_mesh(8)
+    st = np.array([[0, -1, 0], [-1, 4, -1], [0, -1, 0]], np.float64)
+    cols, vals, ok, n_loc = dist_stencil_grid(st, (N, N), mesh,
+                                              dtype=dtype)
+    return mesh, cols, vals, ok, n_loc
+
+
+class TestDistGallery:
+    def test_sharded_stencil_grid_matches_host(self):
+        from pyamg_tpu.gallery import stencil_grid
+        from pyamg_tpu.sparse.matrix import to_scipy
+        mesh, cols, vals, ok, n_loc = _poisson_sharded(40)
+        st = np.array([[0, -1, 0], [-1, 4, -1], [0, -1, 0]], np.float64)
+        S = to_scipy(stencil_grid(st, (40, 40))).tocsr()
+        n = S.shape[0]
+        G = _tosp(cols, vals, ok, cols.shape[0])
+        assert abs(G[:n, :n] - S).max() == 0
+        # pad rows (if any) are identity
+        npad = cols.shape[0] - n
+        if npad:
+            assert (G[n:, n:].diagonal() == 1).all()
+
+
+class TestDistSetup:
+    def test_galerkin_matches_scipy_rap_exactly(self):
+        """Distributed Ac must equal R @ A @ P computed by scipy from the
+        gathered operators, and R must equal P^T (SA symmetry)."""
+        from pyamg_tpu.parallel.dist_setup import distributed_sa_setup
+        mesh, cols, vals, ok, n_loc = _poisson_sharded(40)
+        hier = distributed_sa_setup(cols, vals, ok, n_loc, mesh,
+                                    coarsen_until=64)
+        assert sum(hier.diagnostics["dropped"]) == 0
+        L0, L1 = hier.levels[0], hier.levels[1]
+        n, nc, c_cap, g = L0.n, L1.n, L1.n_loc, L0.g
+        A = _tosp(L0.cols, L0.vals, L0.ok, n)
+        P = _tosp(L0.p_cols, L0.p_vals, L0.p_ok, nc)
+        Ac = _tosp(L1.cols, L1.vals, L1.ok, nc)
+        # R: extended-fine columns -> global fine columns per shard
+        rc = np.asarray(L0.r_cols)
+        rv = np.asarray(L0.r_vals)
+        rok = np.asarray(L0.r_ok)
+        rows_g, cols_g, vals_g = [], [], []
+        for d in range(8):
+            blk = slice(d * c_cap, (d + 1) * c_cap)
+            glob = rc[blk] + d * n_loc - g
+            m = rok[blk] & (glob >= 0) & (glob < n)
+            ridx = np.repeat(np.arange(d * c_cap, (d + 1) * c_cap),
+                             rc.shape[1]).reshape(c_cap, -1)
+            rows_g.append(ridx[m])
+            cols_g.append(glob[m])
+            vals_g.append(rv[blk][m])
+        R = sp.csr_matrix((np.concatenate(vals_g),
+                           (np.concatenate(rows_g),
+                            np.concatenate(cols_g))), shape=(nc, n))
+        assert abs(R - P.T).max() == 0
+        used = np.asarray(R.sum(axis=1)).ravel() != 0
+        D = (Ac - (R @ A @ P)).tocsr()
+        assert abs(D[used]).max() < 1e-13
+        # unused coarse slots are identity rows
+        assert abs(D[~used] - sp.eye(nc).tocsr()[~used]).max() < 1e-13
+        assert abs(Ac - Ac.T).max() < 1e-13
+
+    def test_setup_and_cg_solve_converges(self):
+        from pyamg_tpu.parallel.dist_setup import distributed_sa_setup
+        mesh, cols, vals, ok, n_loc = _poisson_sharded(40)
+        hier = distributed_sa_setup(cols, vals, ok, n_loc, mesh,
+                                    coarsen_until=64)
+        n = 1600
+        b = np.random.default_rng(0).standard_normal(cols.shape[0])
+        b[n:] = 0.0
+        x, relres, it = hier.solve_cg(jnp.asarray(b), tol=1e-8,
+                                      maxiter=60)
+        assert relres < 1e-8
+        assert it <= 25
+        L0 = hier.levels[0]
+        S = _tosp(L0.cols, L0.vals, L0.ok, L0.n)[:n, :n]
+        true = np.linalg.norm(b[:n] - S @ np.asarray(x)[:n]) \
+            / np.linalg.norm(b)
+        assert true < 1e-7
+
+    def test_three_sharded_levels(self):
+        """Larger case exercising the multi-level sharded recursion and
+        multi-hop ghost margins on coarse levels."""
+        from pyamg_tpu.parallel.dist_setup import distributed_sa_setup
+        mesh, cols, vals, ok, n_loc = _poisson_sharded(96)
+        hier = distributed_sa_setup(cols, vals, ok, n_loc, mesh,
+                                    coarsen_until=300)
+        assert len(hier.levels) >= 3
+        b = np.random.default_rng(3).standard_normal(cols.shape[0])
+        b[96 * 96:] = 0.0
+        x, relres, it = hier.solve_cg(jnp.asarray(b), tol=1e-8,
+                                      maxiter=60)
+        assert relres < 1e-8, (relres, it)

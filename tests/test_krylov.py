@@ -178,3 +178,81 @@ class TestOthers:
                                           tol=1e-3, maxiter=500,
                                           residuals=res)
         assert res[-1] / res[0] < 1e-3
+
+
+class TestHouseholderParity:
+    """Justify the CGS2-for-Householder substitution
+    (krylov/gmres.py:gmres_householder): CGS2 orthogonality must match
+    Householder-class orthogonality on ill-conditioned Krylov bases, and
+    the solver must track scipy's LAPACK-grade GMRES."""
+
+    @staticmethod
+    def _case(seed, cond, n=60):
+        rng = np.random.default_rng(seed)
+        U, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        V, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        s = np.logspace(0, -np.log10(cond), n)
+        return U @ np.diag(s) @ V.T, rng.standard_normal(n)
+
+    def test_cgs2_orthogonality_matches_householder(self):
+        # build the Arnoldi basis with CGS2 (the device algorithm) and
+        # with Householder QR of the same Krylov matrix; both must stay
+        # orthonormal to ~machine eps where plain CGS degrades
+        for seed, cond in [(0, 1e6), (1, 1e10), (2, 1e14)]:
+            A, b = self._case(seed, cond)
+            m = 40
+            n = len(b)
+            V = np.zeros((n, m + 1))
+            V[:, 0] = b / np.linalg.norm(b)
+            K = [V[:, 0]]
+            for j in range(m):
+                w = A @ V[:, j]
+                K.append(w)
+                # CGS2: classical Gram-Schmidt applied twice
+                h1 = V[:, :j + 1].T @ w
+                w = w - V[:, :j + 1] @ h1
+                h2 = V[:, :j + 1].T @ w
+                w = w - V[:, :j + 1] @ h2
+                nw = np.linalg.norm(w)
+                if nw < 1e-300:
+                    m = j
+                    break
+                V[:, j + 1] = w / nw
+            Vm = V[:, :m + 1]
+            orth_cgs2 = np.linalg.norm(Vm.T @ Vm - np.eye(m + 1))
+            # Householder-class reference: LAPACK QR of the Krylov matrix
+            Q, _ = np.linalg.qr(np.stack(K, axis=1))
+            orth_hh = np.linalg.norm(Q.T @ Q - np.eye(Q.shape[1]))
+            assert orth_cgs2 < 100 * max(orth_hh, 1e-15), \
+                (cond, orth_cgs2, orth_hh)
+            assert orth_cgs2 < 1e-12
+
+    def test_gmres_tracks_scipy_ill_conditioned(self):
+        import jax.numpy as jnp
+        import scipy.sparse as sp
+        import scipy.sparse.linalg as spla
+        from pyamg_tpu.sparse.matrix import from_scipy
+        for seed, cond in [(0, 1e6), (1, 1e8), (2, 1e10)]:
+            A, b = self._case(seed, cond)
+            m = 40
+            res = []
+            x, info = krylov.gmres_mgs(from_scipy(sp.csr_matrix(A)),
+                                       jnp.asarray(b), tol=1e-14,
+                                       restart=m, maxiter=m,
+                                       residuals=res)
+            xs, _ = spla.gmres(A, b, rtol=1e-14, restart=m, maxiter=m)
+            r_ours = np.linalg.norm(b - A @ np.asarray(x))
+            r_scipy = np.linalg.norm(b - A @ xs)
+            assert r_ours <= 10 * r_scipy + 1e-12 * np.linalg.norm(b), \
+                (cond, r_ours, r_scipy)
+
+    def test_householder_orthog_warns(self):
+        import warnings
+        import jax.numpy as jnp
+        from pyamg_tpu.sparse.matrix import from_scipy
+        A, b = spd_case(seed=3)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            krylov.gmres(from_scipy(A), jnp.asarray(b), tol=1e-5,
+                         maxiter=5, orthog="householder")
+            assert any("householder" in str(x.message).lower() for x in w)

@@ -171,3 +171,60 @@ def test_scale_T_identity_at_cpts():
         row = D[int(c)]
         assert abs(row[j] - 1.0) < 1e-12
         assert np.abs(np.delete(row, j)).max() < 1e-12
+
+
+class TestHierarchySerialization:
+    """save_hierarchy/load_hierarchy round-trip (SURVEY.md §5.4: the
+    reference's reusable artifact is the live solver; ours checkpoints)."""
+
+    def test_roundtrip_identical_residuals(self, tmp_path):
+        import numpy as np
+        import jax.numpy as jnp
+        from pyamg_tpu.gallery import poisson
+        from pyamg_tpu.aggregation import smoothed_aggregation_solver
+        from pyamg_tpu.io import save_hierarchy, load_hierarchy
+        A = poisson((24, 24))
+        ml = smoothed_aggregation_solver(A, max_coarse=10)
+        p = str(tmp_path / "hier.npz")
+        save_hierarchy(ml, p)
+        ml2 = load_hierarchy(p)
+        b = np.random.default_rng(5).standard_normal(A.shape[0])
+        r1, r2 = [], []
+        x1 = ml.solve(jnp.asarray(b), maxiter=12, tol=1e-12, residuals=r1)
+        x2 = ml2.solve(jnp.asarray(b), maxiter=12, tol=1e-12, residuals=r2)
+        np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+        np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+
+    def test_roundtrip_rs_and_coarse_lu(self, tmp_path):
+        import numpy as np
+        import jax.numpy as jnp
+        from pyamg_tpu.gallery import poisson
+        from pyamg_tpu.classical import ruge_stuben_solver
+        from pyamg_tpu.io import save_hierarchy, load_hierarchy
+        A = poisson((16, 16))
+        ml = ruge_stuben_solver(A, coarse_solver="lu")
+        p = str(tmp_path / "h2.npz")
+        save_hierarchy(ml, p)
+        ml2 = load_hierarchy(p)
+        b = np.random.default_rng(1).standard_normal(A.shape[0])
+        r1, r2 = [], []
+        ml.solve(jnp.asarray(b), maxiter=10, tol=1e-12, residuals=r1)
+        ml2.solve(jnp.asarray(b), maxiter=10, tol=1e-12, residuals=r2)
+        np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+
+    def test_roundtrip_bsr_elasticity(self, tmp_path):
+        import numpy as np
+        import jax.numpy as jnp
+        from pyamg_tpu.gallery import linear_elasticity
+        from pyamg_tpu.aggregation import smoothed_aggregation_solver
+        from pyamg_tpu.io import save_hierarchy, load_hierarchy
+        A, B = linear_elasticity((8, 8))
+        ml = smoothed_aggregation_solver(A, B=np.asarray(B), max_coarse=12)
+        p = str(tmp_path / "h3.npz")
+        save_hierarchy(ml, p)
+        ml2 = load_hierarchy(p)
+        b = np.random.default_rng(2).standard_normal(A.shape[0])
+        r1, r2 = [], []
+        ml.solve(jnp.asarray(b), maxiter=8, tol=1e-12, residuals=r1)
+        ml2.solve(jnp.asarray(b), maxiter=8, tol=1e-12, residuals=r2)
+        np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
