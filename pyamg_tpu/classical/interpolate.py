@@ -309,6 +309,45 @@ def _dense_gmres_batch(Amat, b, m, precondition=True):
     return jax.vmap(single)(Amat, b)
 
 
+def _air_solve_host(Acols, Avals, Arow_nnz, n_cols, nbrs, cpts):
+    """Numpy twin of :func:`_air_solve` (direct solves only).
+
+    The per-C-point systems are tiny LAPACK batches; running them on the
+    host avoids a fresh XLA compile of a batched ``linalg.solve`` for
+    every level's distinct ``(ncp, M)`` shape (measured 6-22 s/level on
+    TPU vs milliseconds here)."""
+    nbrs = np.asarray(nbrs)
+    cpts = np.asarray(cpts)
+    ncp, M = nbrs.shape
+    ok = nbrs >= 0
+    nb = np.where(ok, nbrs, 0).astype(np.int64)
+    Ac = np.asarray(Acols)
+    Av = np.asarray(Avals)
+    rn = np.asarray(Arow_nnz)
+    qrows = nb.reshape(-1)
+    sub = ELL(Ac[qrows], Av[qrows], rn[qrows], (ncp * M, n_cols))
+    qc = np.broadcast_to(nb[:, None, :], (ncp, M, M)).reshape(ncp * M, M)
+    A_loc = np.asarray(row_lookup(sub, qc)).reshape(ncp, M, M)
+    subc = ELL(Ac[cpts], Av[cpts], rn[cpts], (ncp, n_cols))
+    b = -np.asarray(row_lookup(subc, nb))
+    okj = ok[:, :, None] & ok[:, None, :]
+    pad_eye = np.where(~ok[:, :, None] & np.eye(M, dtype=bool)[None],
+                       np.ones((), A_loc.dtype), 0)
+    A_sys = np.where(okj, A_loc, 0) + pad_eye
+    b = np.where(ok, b, 0)
+    At = np.swapaxes(A_sys, 1, 2)
+    try:
+        r = np.linalg.solve(At, b[..., None])[..., 0]
+        bad = ~np.isfinite(r).all(axis=1)
+    except np.linalg.LinAlgError:
+        r = np.zeros_like(b)
+        bad = np.ones((ncp,), bool)
+    if bad.any():
+        for i in np.where(bad)[0]:
+            r[i] = np.linalg.lstsq(At[i], b[i], rcond=None)[0]
+    return r, ok
+
+
 @partial(jax.jit, static_argnums=(6, 7, 8))
 def _air_solve(Acols, Avals, Arow_nnz, n_cols, nbrs, cpts,
                use_gmres=False, maxiter=10, precondition=True):
@@ -376,8 +415,14 @@ def local_air(A: ELL, splitting, theta=0.1, norm="abs", degree=1,
                    jnp.zeros((0,), jnp.int32), (0, n))
     nbrs = _air_neighborhoods(C, split, Cpts, degree)
     cpts = jnp.asarray(Cpts, jnp.int32)
-    r, ok = _air_solve(A.cols, A.vals, A.row_nnz, n, nbrs, cpts,
-                       bool(use_gmres), int(maxiter), bool(precondition))
+    if not use_gmres and is_concrete(A.cols, A.vals):
+        r, ok = _air_solve_host(A.cols, A.vals, A.row_nnz, n, nbrs, cpts)
+        r = jnp.asarray(r)
+        ok = jnp.asarray(ok)
+    else:
+        r, ok = _air_solve(A.cols, A.vals, A.row_nnz, n, nbrs, cpts,
+                           bool(use_gmres), int(maxiter),
+                           bool(precondition))
     # assemble R rows: solution over neighborhood + identity at cpoint
     cand_cols = jnp.concatenate(
         [jnp.where(ok, nbrs, 0).astype(jnp.int32), cpts[:, None]], axis=1)

@@ -158,15 +158,23 @@ def eliminate_diag_dom_nodes(A, C: ELL, theta=1.02):
 
 
 def filter_matrix_rows(A: ELL, theta, diagonal=False, lump=False):
-    """Drop |A_ij| < theta * max_k |A_ik| per row (reference
-    ``utils.py:2012``); optionally lump dropped mass onto the diagonal."""
+    """Row-wise drop tolerance (reference ``utils.py:2012``,
+    ``amg_core/linalg.h:1076``).
+
+    ``diagonal=True``: drop off-diagonal ``|A_ij| < theta*|A_ii|`` (the
+    diagonal itself is always kept); ``lump`` adds the dropped mass onto
+    the diagonal, preserving row sums.  ``diagonal=False``: drop entries
+    below ``theta * max_k |A_ik|`` (row max over all entries)."""
     rows = jnp.arange(A.shape[0], dtype=jnp.int32)[:, None]
     isdiag = A.cols == rows
     valid = A.valid_mask()
-    offd = valid & ~isdiag
-    mx = jnp.max(jnp.where(offd, jnp.abs(A.vals), 0), axis=1, keepdims=True)
-    keep = offd & (jnp.abs(A.vals) >= theta * mx)
-    keep = keep | (valid & isdiag) if not diagonal else keep
+    absv = jnp.where(valid, jnp.abs(A.vals), 0)
+    if diagonal:
+        dmag = jnp.max(jnp.where(isdiag, absv, 0), axis=1, keepdims=True)
+        keep = valid & (isdiag | (absv >= theta * dmag))
+    else:
+        mx = jnp.max(absv, axis=1, keepdims=True)
+        keep = valid & (absv >= theta * mx)
     dropped = jnp.where(valid & ~keep, A.vals, 0).sum(axis=1)
     vals = jnp.where(keep, A.vals, 0)
     if lump:
