@@ -5,10 +5,12 @@ Prints ONE JSON line:
 
 Headline: wall seconds to solve 2D Poisson 500x500 (250k unknowns) to
 TRUE relative residual 1e-10 on one TPU chip, warm (post-compile) —
-mixed-precision flow: f32 grid-structured SA hierarchy on device
-(DIA operators + PhaseStencil transfers, gather-free), f64 defect
-correction on host (reference target: 1e-10, PyAMG paper artifact
-docs/paper/example.res.txt).
+mixed-precision flow, ONE jitted device program end-to-end: f32
+grid-structured SA hierarchy (DIA operators + PhaseStencil transfers,
+dense-inverse collapsed coarse tail), double-single (two-f32) outer
+defect correction fully on device (TPU has no f64 ALU; ops/ds.py), final
+x fetched inside the timed region (reference target: 1e-10, PyAMG paper
+artifact docs/paper/example.res.txt).
 
 Extras: SpMV throughput (nnz/s, DIA f32 on chip), V-cycle time, inner CG
 iterations, setup time, operator complexity; baseline = scipy CSR SpMV
@@ -65,8 +67,12 @@ def main():
     t_rap = time.perf_counter() - t0
     spgemm_host_nnz_s = (nnz * P.width + Ac.nnz * R.width) / t_rap
 
+    t0 = time.perf_counter()
     ml.compress_stencils()                     # DIA + PhaseStencil layouts
+    ml.collapse_coarse(max_n=4096)             # dense-inverse cycle tail
+    ml.enable_ds_refinement(A64)               # DS fine operator (f64 acc)
     ml.to_device(dev)
+    prep_s = time.perf_counter() - t0
 
     rng = np.random.default_rng(2022)
     b = rng.standard_normal(n)
@@ -139,17 +145,22 @@ def main():
     spmv_gb_s = spmv_bytes / t_spmv / 1e9
     spmv_pct_hbm = 100.0 * spmv_bytes / t_spmv / HBM_PEAK
 
-    # --- V-cycle time (one jit application)
+    # --- V-cycle time (kernel time: chained applications in one jit; a
+    # per-call eager dispatch costs ~1.5-3 ms over the axon tunnel and
+    # would triple the number)
     cyc = ml._get_cycle("V")
     dyn = ml._dyn()
-    vcycle = jax.jit(lambda dyn, x, b: cyc(dyn, x, b))
+    KC = 100
+
+    @jax.jit
+    def vloop(dyn, x, b):
+        return jax.lax.fori_loop(0, KC, lambda i, v: cyc(dyn, v, b), x)
+
     z = jnp.zeros_like(b32)
-    jax.block_until_ready(vcycle(dyn, z, b32))
+    jax.block_until_ready(vloop(dyn, z, b32))
     t0 = time.perf_counter()
-    for _ in range(10):
-        out = vcycle(dyn, z, b32)
-    jax.block_until_ready(out)
-    t_cycle = (time.perf_counter() - t0) / 10
+    jax.block_until_ready(vloop(dyn, z, b32))
+    t_cycle = (time.perf_counter() - t0) / KC
 
     # V(1,1) bytes model: per level, 3 A-passes (pre-smooth, residual,
     # post-smooth) + one P and one R pass + ~8 vector passes
@@ -159,35 +170,53 @@ def main():
         vcycle_bytes += 3 * _bytes_of(lv.A) + 8 * nl * 4
         if getattr(lv, "P", None) is not None:
             vcycle_bytes += _bytes_of(lv.P) + _bytes_of(lv.R)
+    op = ml.coarse_solver.params.get("op", None)
+    if op is not None and hasattr(op, "nbytes"):
+        vcycle_bytes += op.nbytes      # dense-inverse coarse matvec
     vcycle_gb_s = vcycle_bytes / t_cycle / 1e9
     vcycle_pct_hbm = 100.0 * vcycle_bytes / t_cycle / HBM_PEAK
 
-    # --- headline: mixed-precision solve to true rel-res 1e-10 (warm)
-    inner_iters = []
-
-    def counting_solve():
-        res_out = []
-        inner = 0
-        x64 = np.zeros(n)
-        normb = np.linalg.norm(b)
-        for _ in range(10):
-            r = b - As @ x64
-            nr = np.linalg.norm(r)
-            res_out.append(nr)
-            if nr <= 1e-10 * normb:
-                break
-            res_in = []
-            e = ml.solve(jnp.asarray(r / nr, jnp.float32), tol=1e-5,
-                         maxiter=30, accel="cg", residuals=res_in)
-            inner += len(res_in) - 1
-            x64 = x64 + nr * np.asarray(e, np.float64)[:n]
-        return x64, res_out, inner
-
-    counting_solve()                           # warm-up (compiles)
+    # --- headline: mixed-precision solve to true rel-res 1e-10 (warm).
+    # ONE jitted program: double-single (two-f32) outer residuals + DS
+    # accumulation of x (TPU has no f64 ALU), V-cycle-preconditioned f32
+    # CG inner solves — zero host round-trips until the final fetch of x
+    # (which IS included in the timed region, as are the tiny history
+    # fetches).
+    ml.solve_refined_device(b)                 # warm-up (compiles)
     t0 = time.perf_counter()
-    x, res_out, inner = counting_solve()
+    x = ml.solve_refined_device(b, tol=1e-10, inner_tol=1e-5,
+                                inner_maxiter=30, max_outer=10)
     t_solve = time.perf_counter() - t0
     rel = float(np.linalg.norm(b - As @ x) / np.linalg.norm(b))
+    # re-run (untimed) to fetch the iteration diagnostics
+    res_out, it = [], {}
+    ml.solve_refined_device(b, residuals=res_out, iterations_out=it)
+    inner = it["inner"]
+
+    # --- SELL SpMV throughput (the unstructured-operator fast path;
+    # single Pallas kernel, windowed lane gathers)
+    sell_nnz_s = 0.0
+    try:
+        from pyamg_tpu.sparse.sell import sell_from_ell
+        S = sell_from_ell(A_ell)
+        if S is not None:
+            S = jax.tree_util.tree_map(
+                lambda v: jax.device_put(v, dev) if hasattr(v, "shape")
+                else v, S)
+
+            @jax.jit
+            def sell_loop(S, x):
+                def body(i, y):
+                    return S.mv(y) / jnp.float32(1.0001)
+                return jax.lax.fori_loop(0, K, body, x)
+
+            jax.block_until_ready(sell_loop(S, b32))
+            t0 = time.perf_counter()
+            jax.block_until_ready(sell_loop(S, b32))
+            t_sell = (time.perf_counter() - t0) / K
+            sell_nnz_s = nnz / t_sell
+    except Exception:
+        pass
 
     # --- baseline: scipy CSR SpMV on this host (reference substrate)
     xs = rng.standard_normal(n)
@@ -211,6 +240,7 @@ def main():
         "spmv_gnnz_per_s": spmv_nnz_s / 1e9,
         "spmv_gb_per_s": spmv_gb_s,
         "spmv_pct_hbm_peak": spmv_pct_hbm,
+        "sell_spmv_gnnz_per_s": sell_nnz_s / 1e9,
         "spgemm_device_gnnz_per_s": spgemm_dev_mult_s / 1e9,
         "spgemm_host_gnnz_per_s": spgemm_host_nnz_s / 1e9,
         "scipy_spmv_gnnz_per_s": scipy_nnz_s / 1e9,
@@ -218,7 +248,9 @@ def main():
         "vcycle_gb_per_s": vcycle_gb_s,
         "vcycle_pct_hbm_peak": vcycle_pct_hbm,
         "setup_s": setup_time,
+        "prep_s": prep_s,
         "levels": levels,
+        "levels_active": len(ml.levels),
         "operator_complexity": opc,
         "device": str(dev),
     }

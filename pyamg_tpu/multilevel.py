@@ -434,6 +434,154 @@ class MultilevelSolver:
         self._cycle_cache.clear()
         return self
 
+    def collapse_coarse(self, max_n=4096):
+        """Truncate the cycle at the first level with ``n <= max_n`` and
+        install an exact dense-inverse coarse solve there.
+
+        TPU rationale: each coarse level contributes ~30 small HLO ops to
+        the cycle (smoother color sweeps, transfers), all latency-bound —
+        a measured ~0.4 ms of the 500² Poisson V-cycle happens below
+        n=4096 where the *math* is microseconds.  One dense (MXU) matvec
+        with a precomputed inverse replaces the whole tail exactly: a
+        V-cycle with a direct coarse solve at level k is a standard
+        configuration (reference ``coarse_grid_solver('pinv')``,
+        ``multilevel.py:665-826``) and a strictly better preconditioner
+        than cycling deeper.
+
+        The inverse is computed on device (f32 LU) — small, one-time.
+        Truncated levels are kept in ``self._collapsed_levels`` for
+        inspection; complexity metrics reflect the active hierarchy.
+        """
+        k = next((i for i, l in enumerate(self.levels)
+                  if l.A.shape[0] <= max_n), len(self.levels) - 1)
+        if k == 0 or k >= len(self.levels) - 1:
+            return self       # nothing to collapse / already coarsest
+        Ak = self.levels[k].A
+        # densify + invert ON DEVICE from the sparse arrays: the sparse
+        # upload is KBs (vs ~n^2*4 bytes dense) and LU/inv is fast on chip
+        from pyamg_tpu.ops.dense import to_dense, inv_device
+        op = inv_device(Ak)
+        self._collapsed_levels = self.levels[k:]
+        self.levels = self.levels[:k + 1]
+        self.levels[k] = Level(Ak)
+        cs = CoarseSolver("pinv")
+        cs.params = {"op": op}
+        self.coarse_solver = cs
+        self._cycle_cache.clear()
+        return self
+
+    def enable_ds_refinement(self, A_fine64=None):
+        """Precompute the double-single (two-f32) form of the f64 fine
+        operator for on-device defect correction (see ``ops/ds.py``).
+
+        ``A_fine64``: host ELL/DIA container with f64 values; defaults to
+        the stored fine operator's ELL original cast to f64 on host.
+        """
+        from pyamg_tpu.ops.ds import ds_operator
+        if A_fine64 is None:
+            A_fine64 = getattr(self.levels[0], "A_ell", self.levels[0].A)
+        self._ds_op = ds_operator(A_fine64)
+        return self
+
+    def _get_ds_refined_run(self, cycle, tol, inner_tol, inner_maxiter,
+                            max_outer):
+        """ONE jitted program for the whole mixed-precision solve:
+        f64-accuracy outer residuals in double-single arithmetic, f32
+        V-cycle-preconditioned CG inner solves, DS accumulation of x —
+        zero host round-trips (the TPU-native form of the reference's
+        f64 solve loop, ``multilevel.py:544-582``)."""
+        key = ("ds_refined", str(cycle).upper(), float(tol),
+               float(inner_tol), int(inner_maxiter), int(max_outer),
+               self._static_key(),
+               self.coarse_solver.kind if not callable(self.coarse_solver.kind)
+               else id(self.coarse_solver.kind))
+        # static descriptor entries of the DS operator are baked into the
+        # traced program; only its arrays ride as jit arguments
+        ds_static = {k: v for k, v in self._ds_op.items()
+                     if not hasattr(v, "shape")}
+        key = key + (tuple(sorted(ds_static.items())),)
+        if key not in self._cycle_cache:
+            from pyamg_tpu.krylov.methods import cg_loop
+            from pyamg_tpu.ops import ds as dsm
+            cyc = self._make_cycle(cycle)
+            nlev = len(self.levels)
+
+            def run(dyn, ds_arrays, bhi, blo):
+                A_ds = {**ds_static, **ds_arrays}
+                A0 = dyn[0][0][0] if nlev > 1 else dyn[1]
+                mv = lambda v: matvec(A0, v)
+                Mv = lambda r: cyc(dyn, jnp.zeros_like(r), r)
+                normb = jnp.linalg.norm(bhi)
+                normb = jnp.where(normb == 0, 1.0, normb)
+                hist = jnp.zeros((max_outer + 1,), jnp.float32)
+                nr0 = jnp.linalg.norm(bhi)
+                hist = hist.at[0].set(nr0)
+                zeros = jnp.zeros_like(bhi)
+
+                def cond(st):
+                    return (~st[-1]) & (st[4] < max_outer)
+
+                def body(st):
+                    xhi, xlo, rhi, rlo, k, nr, hist, itot, done = st
+                    r32 = rhi / jnp.where(nr == 0, 1, nr)
+                    e, info, _, nit = cg_loop(mv, Mv, zeros, r32,
+                                              inner_tol, "rr",
+                                              inner_maxiter)
+                    xhi, xlo = dsm.ds_add_f32(xhi, xlo, nr * e)
+                    rhi, rlo = dsm.ds_residual(A_ds, xhi, xlo, bhi, blo)
+                    nr = jnp.linalg.norm(rhi)
+                    k = k + 1
+                    hist = hist.at[k].set(nr)
+                    itot = itot + nit - 1
+                    return (xhi, xlo, rhi, rlo, k, nr, hist, itot,
+                            nr <= tol * normb)
+
+                st = (zeros, zeros, bhi, blo, jnp.int32(0), nr0, hist,
+                      jnp.int32(0), nr0 <= tol * normb)
+                xhi, xlo, rhi, rlo, k, nr, hist, itot, done = \
+                    lax.while_loop(cond, body, st)
+                # stacked so the caller fetches x in ONE transfer
+                return jnp.stack([xhi, xlo]), hist, k, itot
+
+            self._cycle_cache[key] = jax.jit(run)
+        return self._cycle_cache[key]
+
+    def solve_refined_device(self, b, tol=1e-10, inner_tol=1e-5,
+                             inner_maxiter=30, max_outer=10, cycle="V",
+                             residuals=None, iterations_out=None):
+        """Mixed-precision solve to f64 accuracy entirely on device.
+
+        The f64 outer residual of the reference's solve loop is computed
+        in double-single f32 arithmetic (no f64 ALU on TPU), the error
+        equation is solved by the f32 V-cycle-preconditioned CG, and the
+        whole defect-correction iteration runs as one jitted program —
+        the device is dispatched once per solve.  Returns x as f64
+        (numpy, host).
+
+        ``iterations_out``: optional dict populated with
+        ``{'outer': k, 'inner': total_inner_cg_iterations}``.
+        """
+        if getattr(self, "_ds_op", None) is None:
+            self.enable_ds_refinement()
+        from pyamg_tpu.ops.ds import ds_from_f64, ds_to_f64
+        b64 = np.asarray(b, np.float64).reshape(-1)
+        bhi, blo = ds_from_f64(b64)
+        run = self._get_ds_refined_run(cycle, tol, inner_tol,
+                                       inner_maxiter, max_outer)
+        ds_arrays = {k: v for k, v in self._ds_op.items()
+                     if hasattr(v, "shape")}
+        xs, hist, k, itot = run(self._dyn(), ds_arrays,
+                                jnp.asarray(bhi), jnp.asarray(blo))
+        xs = np.asarray(xs)
+        x = ds_to_f64(xs[0], xs[1])
+        if residuals is not None:
+            residuals[:] = [float(v) for v in
+                            np.asarray(hist)[:int(k) + 1]]
+        if iterations_out is not None:
+            iterations_out["outer"] = int(k)
+            iterations_out["inner"] = int(itot)
+        return x
+
     def to_device(self, device):
         """Move every level's arrays (operators, smoother params, coarse
         factorization) onto ``device`` and return self.
@@ -458,6 +606,9 @@ class MultilevelSolver:
                 lvl.B = put(lvl.B)
         self.coarse_solver.params = jax.tree_util.tree_map(
             put, self.coarse_solver.params)
+        if getattr(self, "_ds_op", None) is not None:
+            self._ds_op = {k: (put(v) if hasattr(v, "shape") else v)
+                           for k, v in self._ds_op.items()}
         self._cycle_cache.clear()
         return self
 

@@ -1,10 +1,13 @@
-"""Sparse transpose via global COO sort (setup-phase).
+"""Sparse transpose via global COO sort (setup-phase, pure host numpy).
 
 Reference behavior: ``R = P.T.tocsr()`` (``classical/classical.py:189``,
-``aggregation/aggregation.py:393-413``).  On TPU: flatten valid entries to
-COO, swap (row, col), sort by the new (row, col) key with XLA's vectorized
-sort, and rebuild the padded layout.  Runs once per level at setup; the
-solve phase uses the pre-built transpose.
+``aggregation/aggregation.py:393-413``).  Flatten valid entries to COO,
+swap (row, col), lexsort, rebuild the padded layout.  Runs once per level
+at setup; the solve phase uses the pre-built transpose.  Deliberately
+numpy-only: an eager jnp op here would lift the host arrays onto the
+default device (a transfer + compile per op — catastrophic over a remote
+TPU tunnel).  The device-resident transpose used by traced/distributed
+setup lives in ``parallel/dist_setup._transpose_shard``.
 """
 
 from __future__ import annotations
@@ -19,14 +22,19 @@ from pyamg_tpu.sparse.matrix import ELL, BELL, ell_from_csr_arrays
 def transpose(A: ELL, conjugate: bool = False, width=None) -> ELL:
     n, m = A.shape
     W = A.width
-    rows = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, W))
-    valid = A.valid_mask()
-    vals = jnp.conj(A.vals) if conjugate else A.vals
+    # pure-numpy path: setup-phase host arrays must never touch jnp here —
+    # each eager op would lift them onto the default (possibly remote TPU)
+    # device, costing a transfer + compile per op
+    cols_np = np.asarray(A.cols)
+    vals_np = np.asarray(A.vals)
+    rows = np.broadcast_to(np.arange(n, dtype=np.int32)[:, None], (n, W))
+    valid = np.arange(W)[None, :] < np.asarray(A.row_nnz)[:, None]
+    vals_np = np.conj(vals_np) if conjugate else vals_np
     # new row = old col; invalid entries get row sentinel m (dropped below)
     # host sort+compaction (concrete at setup; int64-safe regardless of x64)
-    t_rows = np.asarray(jnp.where(valid, A.cols, m).reshape(-1))
-    t_cols = np.asarray(rows.reshape(-1))
-    t_vals = np.asarray(vals.reshape(-1))
+    t_rows = np.where(valid, cols_np, m).reshape(-1)
+    t_cols = rows.reshape(-1).copy()
+    t_vals = vals_np.reshape(-1)
     keep = t_rows < m
     t_rows, t_cols, t_vals = t_rows[keep], t_cols[keep], t_vals[keep]
     order = np.lexsort((t_cols, t_rows))
@@ -41,12 +49,14 @@ def btranspose(A: BELL, conjugate: bool = False, width=None) -> BELL:
     nb, mb = A.n_block_rows, A.n_block_cols
     W = A.width
     br, bc = A.blocksize
-    rows = jnp.broadcast_to(jnp.arange(nb, dtype=jnp.int32)[:, None], (nb, W))
-    valid = A.valid_mask()
-    vals = jnp.conj(A.vals) if conjugate else A.vals
-    t_rows = np.asarray(jnp.where(valid, A.cols, mb).reshape(-1))
-    t_cols = np.asarray(rows.reshape(-1))
-    t_vals = np.asarray(jnp.swapaxes(vals, -1, -2).reshape(-1, bc, br))
+    cols_np = np.asarray(A.cols)
+    vals_np = np.asarray(A.vals)
+    rows = np.broadcast_to(np.arange(nb, dtype=np.int32)[:, None], (nb, W))
+    valid = np.arange(W)[None, :] < np.asarray(A.row_nnz)[:, None]
+    vals_np = np.conj(vals_np) if conjugate else vals_np
+    t_rows = np.where(valid, cols_np, mb).reshape(-1)
+    t_cols = rows.reshape(-1).copy()
+    t_vals = np.swapaxes(vals_np, -1, -2).reshape(-1, bc, br)
     keep = t_rows < mb
     t_rows, t_cols, t_vals = t_rows[keep], t_cols[keep], t_vals[keep]
     order = np.lexsort((t_cols, t_rows))

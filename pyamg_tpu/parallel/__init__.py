@@ -13,6 +13,10 @@ from pyamg_tpu.parallel.partition import (
     make_row_mesh, pad_matrix_rows, shard_matrix, shard_hierarchy,
     replicate)
 from pyamg_tpu.parallel.halo import HaloELL, build_halo
+from pyamg_tpu.parallel.dist_setup import (
+    distributed_sa_setup, dist_stencil_grid, DistHierarchy, DistLevel)
 
 __all__ = ["make_row_mesh", "pad_matrix_rows", "shard_matrix",
-           "shard_hierarchy", "replicate", "HaloELL", "build_halo"]
+           "shard_hierarchy", "replicate", "HaloELL", "build_halo",
+           "distributed_sa_setup", "dist_stencil_grid", "DistHierarchy",
+           "DistLevel"]

@@ -639,8 +639,16 @@ def bell_from_scipy(A, width=None) -> BELL:
 
 
 def to_scipy(A):
-    """Convert ELL/BELL back to scipy CSR/BSR (host)."""
+    """Convert ELL/BELL/DIA back to scipy CSR/BSR (host)."""
     import scipy.sparse as sp
+    if isinstance(A, DIA):
+        n = A.shape[0]
+        data = np.asarray(A.data)[:, :n]
+        M = sp.dia_matrix((np.stack([np.roll(data[d], off)
+                                     for d, off in enumerate(A.offsets)]),
+                           np.asarray(A.offsets)), shape=A.shape).tocsr()
+        M.eliminate_zeros()
+        return M
     if isinstance(A, BELL):
         nb = A.n_block_rows
         cols = np.asarray(A.cols)
