@@ -39,6 +39,11 @@ def _solve_refined_time(ml, A64_scipy, b, tol=1e-10, accel="cg", **kw):
     return dt, float(true), len(res) - 1
 
 
+def _brk(ml):
+    """Per-phase setup breakdown (seconds) recorded by the constructors."""
+    return {k: round(v, 3) for k, v in ml.setup_timings().items()}
+
+
 def bench_rs_poisson_500():
     from pyamg_tpu.gallery import poisson
     from pyamg_tpu.classical import ruge_stuben_solver
@@ -52,7 +57,7 @@ def bench_rs_poisson_500():
     ml.to_device(jax.devices()[0])
     b = np.random.default_rng(0).standard_normal(A64.shape[0])
     dt, true, it = _solve_refined_time(ml, S, b)
-    return {"config": "rs_poisson_500x500", "solve_s": dt, "setup_s": setup,
+    return {"config": "rs_poisson_500x500", "solve_s": dt, "setup_s": setup, "setup_breakdown": _brk(ml),
             "true_rel_residual": true, "outer_iters": it,
             "operator_complexity": float(ml.operator_complexity())}
 
@@ -70,7 +75,7 @@ def bench_sa_poisson_3d_64():
     ml.to_device(jax.devices()[0])
     b = np.random.default_rng(0).standard_normal(A64.shape[0])
     dt, true, it = _solve_refined_time(ml, S, b)
-    return {"config": "sa_poisson_64cubed", "solve_s": dt, "setup_s": setup,
+    return {"config": "sa_poisson_64cubed", "solve_s": dt, "setup_s": setup, "setup_breakdown": _brk(ml),
             "true_rel_residual": true, "outer_iters": it,
             "operator_complexity": float(ml.operator_complexity())}
 
@@ -99,7 +104,7 @@ def bench_anisotropic_512():
     dt, true, it = _solve_refined_time(ml, S, b, inner_maxiter=60,
                                        max_outer=20)
     return {"config": "anisotropic_rotated_eps1e-3_512", "solve_s": dt,
-            "setup_s": setup, "true_rel_residual": true, "outer_iters": it,
+            "setup_s": setup, "setup_breakdown": _brk(ml), "true_rel_residual": true, "outer_iters": it,
             "operator_complexity": float(ml.operator_complexity())}
 
 
@@ -119,7 +124,7 @@ def bench_elasticity_100():
     dt, true, it = _solve_refined_time(ml, S, b, inner_maxiter=60,
                                        max_outer=20)
     return {"config": "elasticity_bsr_rbm_100x100", "solve_s": dt,
-            "setup_s": setup, "true_rel_residual": true, "outer_iters": it,
+            "setup_s": setup, "setup_breakdown": _brk(ml), "true_rel_residual": true, "outer_iters": it,
             "operator_complexity": float(ml.operator_complexity())}
 
 
@@ -138,7 +143,7 @@ def bench_advection_gmres():
     dt, true, it = _solve_refined_time(ml, S, b, accel="gmres",
                                        inner_maxiter=40, max_outer=20)
     return {"config": "advection_air_gmres_256", "solve_s": dt,
-            "setup_s": setup, "true_rel_residual": true, "outer_iters": it,
+            "setup_s": setup, "setup_breakdown": _brk(ml), "true_rel_residual": true, "outer_iters": it,
             "operator_complexity": float(ml.operator_complexity())}
 
 

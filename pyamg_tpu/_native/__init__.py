@@ -59,6 +59,16 @@ def get_lib():
         lib.first_fit_coloring.restype = ctypes.c_int32
         lib.first_fit_coloring.argtypes = [ctypes.c_int32, i32p, i32p,
                                            i32p]
+        f64p = ctypes.POINTER(ctypes.c_double)
+        lib.remove_strong_ff_ell.restype = None
+        lib.remove_strong_ff_ell.argtypes = [
+            ctypes.c_int32, ctypes.c_int32, i32p, f64p, i32p, i32p, i32p]
+        lib.classical_interpolation_ell.restype = None
+        lib.classical_interpolation_ell.argtypes = [
+            ctypes.c_int32, ctypes.c_int32, i32p, f64p, i32p,
+            ctypes.c_int32, i32p, f64p, i32p,
+            i32p, i32p, ctypes.c_int32,
+            ctypes.c_int32, i32p, f64p, i32p]
         _lib = lib
     except Exception as e:  # pragma: no cover - fallback path
         warnings.warn(f"native amg_host unavailable ({e}); "
@@ -124,3 +134,52 @@ def first_fit_coloring(n, indptr, indices):
     colors = np.empty(max(n, 1), np.int32)
     nc = lib.first_fit_coloring(n, _ptr(Ap), _ptr(Aj), _ptr(colors))
     return colors[:n], int(nc)
+
+
+def _f64(a):
+    return np.ascontiguousarray(np.asarray(a), dtype=np.float64)
+
+
+def _fptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def remove_strong_ff_ell(s_cols, s_vals, s_nnz, split):
+    """Drop mask (n, Ws) int32 for strong F-F entries lacking a common
+    strong C (ruge_stuben.h:1133); None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n, Ws = s_cols.shape
+    sc, sn, sp = _i32(s_cols), _i32(s_nnz), _i32(split)
+    sv = _f64(s_vals)
+    drop = np.empty((n, Ws), np.int32)
+    lib.remove_strong_ff_ell(n, Ws, _ptr(sc), _fptr(sv), _ptr(sn),
+                             _ptr(sp), _ptr(drop))
+    return drop.astype(bool)
+
+
+def classical_interpolation_ell(a_cols, a_vals, a_nnz, s_cols, s_vals,
+                                s_nnz, split, cmap, modified, Wp):
+    """(p_cols, p_vals, p_nnz) padded-ELL arrays for (modified) classical
+    interpolation (ruge_stuben.h:1083,1239); None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n, Wa = a_cols.shape
+    Ws = s_cols.shape[1]
+    ac, an = _i32(a_cols), _i32(a_nnz)
+    av = _f64(a_vals)
+    sc, sn = _i32(s_cols), _i32(s_nnz)
+    sv = _f64(s_vals)
+    sp, cm = _i32(split), _i32(cmap)
+    Wp = max(int(Wp), 1)
+    p_cols = np.zeros((n, Wp), np.int32)
+    p_vals = np.zeros((n, Wp), np.float64)
+    p_nnz = np.zeros((n,), np.int32)
+    lib.classical_interpolation_ell(
+        n, Wa, _ptr(ac), _fptr(av), _ptr(an),
+        Ws, _ptr(sc), _fptr(sv), _ptr(sn),
+        _ptr(sp), _ptr(cm), int(bool(modified)),
+        Wp, _ptr(p_cols), _fptr(p_vals), _ptr(p_nnz))
+    return p_cols, p_vals, p_nnz

@@ -245,7 +245,159 @@ i32 first_fit_coloring(i32 n, const i32* Ap, const i32* Aj, i32* color) {
 }
 
 // ---------------------------------------------------------------------------
-// Lloyd helpers and misc graph golds can be added here as needed.
+// Strong F-F filter over the ELL strength layout (reference
+// ruge_stuben.h:1133 remove_strong_FF_connections): mark strength entries
+// (i, j) with i, j both F-points that share no strong C neighbor.  The
+// caller zeroes the marked values.  Decisions are made against the
+// ORIGINAL values (drop flags applied afterwards), matching the vectorized
+// twin in classical/interpolate.py:108.
+//   s_cols/s_vals: (n, Ws) row-major padded strength arrays; a slot is
+//   "strong" when slot < s_nnz[row] and s_vals != 0.
 // ---------------------------------------------------------------------------
+void remove_strong_ff_ell(i32 n, i32 Ws, const i32* s_cols,
+                          const f64* s_vals, const i32* s_nnz,
+                          const i32* split, i32* drop) {
+  std::vector<i32> markstamp(n, -1);
+  for (i32 i = 0; i < n; ++i) {
+    const i32* ci = s_cols + (size_t)i * Ws;
+    const f64* vi = s_vals + (size_t)i * Ws;
+    i32* di = drop + (size_t)i * Ws;
+    for (i32 t = 0; t < Ws; ++t) di[t] = 0;
+    if (split[i] != 0) continue;                    // F rows only
+    // mark strong-C neighbors of i
+    for (i32 t = 0; t < s_nnz[i]; ++t)
+      if (vi[t] != 0 && ci[t] != i && split[ci[t]] == 1)
+        markstamp[ci[t]] = i;
+    for (i32 t = 0; t < s_nnz[i]; ++t) {
+      i32 j = ci[t];
+      if (vi[t] == 0 || j == i || split[j] != 0) continue;   // strong F-F
+      bool common = false;
+      const i32* cj = s_cols + (size_t)j * Ws;
+      const f64* vj = s_vals + (size_t)j * Ws;
+      for (i32 q = 0; q < s_nnz[j]; ++q)
+        if (vj[q] != 0 && markstamp[cj[q]] == i) { common = true; break; }
+      if (!common) di[t] = 1;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Distance-1 (modified) classical interpolation over ELL layouts
+// (reference ruge_stuben.h:1083,1239 rs_classical_interpolation_pass1/2;
+// exact value semantics of the vectorized twin classical/interpolate.py:130).
+// The vectorized twin materializes an (n, Ws, Wa, Ws) 2-hop tensor (~GBs
+// at 250k rows); this is the same math as O(nnz * Ws) scalar loops with a
+// stamped sparse accumulator.
+//   A: (n, Wa) padded operator; S: (n, Ws) padded strength pattern whose
+//   values gate "strong" (the slot VALUES used in the formula are A's
+//   entries at those columns, looked up here).  Output P: (n, Wp) padded.
+// ---------------------------------------------------------------------------
+void classical_interpolation_ell(
+    i32 n, i32 Wa, const i32* a_cols, const f64* a_vals, const i32* a_nnz,
+    i32 Ws, const i32* s_cols, const f64* s_vals, const i32* s_nnz,
+    const i32* split, const i32* cmap, i32 modified,
+    i32 Wp, i32* p_cols, f64* p_vals, i32* p_nnz) {
+  // A diagonal (for a_kk and denominators)
+  std::vector<f64> diag(n, 0.0);
+  for (i32 i = 0; i < n; ++i) {
+    const i32* c = a_cols + (size_t)i * Wa;
+    const f64* v = a_vals + (size_t)i * Wa;
+    for (i32 t = 0; t < a_nnz[i]; ++t)
+      if (c[t] == i) { diag[i] = v[t]; break; }
+  }
+  // stamped sparse maps: column -> A value of row i / strength slot of i
+  std::vector<i32> astamp(n, -1), sstamp(n, -1), slotof(n, 0);
+  std::vector<f64> acolval(n, 0.0);
+  std::vector<f64> aval_t(Ws), numer(Ws);
+  std::vector<i32> cols_t(Ws);
+  std::vector<char> is_sc(Ws), is_sf(Ws);
+
+  for (i32 i = 0; i < n; ++i) {
+    i32* pc = p_cols + (size_t)i * Wp;
+    f64* pv = p_vals + (size_t)i * Wp;
+    if (split[i] == 1) {                       // C row: identity
+      pc[0] = cmap[i];
+      pv[0] = 1.0;
+      p_nnz[i] = 1;
+      continue;
+    }
+    const i32* ac = a_cols + (size_t)i * Wa;
+    const f64* av = a_vals + (size_t)i * Wa;
+    f64 di = 0, pos = 0, neg = 0;
+    for (i32 t = 0; t < a_nnz[i]; ++t) {
+      i32 j = ac[t];
+      astamp[j] = i;
+      acolval[j] = av[t];
+      if (j == i) di = av[t];
+      else if (av[t] > 0) pos += av[t];
+      else if (av[t] < 0) neg += av[t];
+    }
+    // strength slots of row i (value = A entry at that column)
+    const i32* sc = s_cols + (size_t)i * Ws;
+    const f64* sv = s_vals + (size_t)i * Ws;
+    i32 ns = 0;
+    f64 ssum = 0;
+    for (i32 t = 0; t < s_nnz[i]; ++t) {
+      i32 j = sc[t];
+      if (sv[t] == 0 || j == i) continue;
+      f64 aij = (astamp[j] == i) ? acolval[j] : 0.0;
+      cols_t[ns] = j;
+      aval_t[ns] = aij;
+      is_sc[ns] = (split[j] == 1);
+      is_sf[ns] = (split[j] == 0);
+      numer[ns] = aij;
+      sstamp[j] = i;
+      slotof[j] = ns;
+      ssum += aij;
+      ++ns;
+    }
+    f64 denom = (di + pos + neg) - ssum;
+    if (denom == 0) denom = 1.0;
+    // 2-hop corrections through strong-F neighbors k
+    for (i32 k = 0; k < ns; ++k) {
+      if (!is_sf[k]) continue;
+      i32 kc = cols_t[k];
+      f64 akk = diag[kc];
+      f64 a_ik = aval_t[k];
+      const i32* ck = a_cols + (size_t)kc * Wa;
+      const f64* vk = a_vals + (size_t)kc * Wa;
+      f64 inner = 0;
+      for (i32 q = 0; q < a_nnz[kc]; ++q) {
+        i32 j2 = ck[q];
+        if (sstamp[j2] != i || !is_sc[slotof[j2]]) continue;
+        f64 akj = vk[q];
+        f64 eff = akj;
+        if (modified) {
+          int sm = (akj > 0) - (akj < 0);
+          int sk = (akk > 0) - (akk < 0);
+          if (sm == sk) eff = 0.0;
+        }
+        inner += eff;
+      }
+      if (inner == 0) continue;
+      for (i32 q = 0; q < a_nnz[kc]; ++q) {
+        i32 j2 = ck[q];
+        if (sstamp[j2] != i || !is_sc[slotof[j2]]) continue;
+        f64 akj = vk[q];
+        f64 eff = akj;
+        if (modified) {
+          int sm = (akj > 0) - (akj < 0);
+          int sk = (akk > 0) - (akk < 0);
+          if (sm == sk) eff = 0.0;
+        }
+        if (std::fabs(eff) > 1e-15 * std::fabs(a_ik))
+          numer[slotof[j2]] += a_ik * eff / inner;
+      }
+    }
+    i32 m = 0;
+    for (i32 t = 0; t < ns; ++t) {
+      if (!is_sc[t]) continue;
+      pc[m] = cmap[cols_t[t]];
+      pv[m] = -numer[t] / denom;
+      ++m;
+    }
+    p_nnz[i] = m;
+  }
+}
 
 }  // extern "C"

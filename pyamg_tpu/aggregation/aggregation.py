@@ -114,9 +114,18 @@ def _extend_hierarchy(levels, strength, aggregate, smooth,
                       symmetry, seed):
     """One coarsening step (reference ``aggregation.py:280-432``).
     Returns False if coarsening stalls."""
+    import time as _time
     lvl_idx = len(levels) - 1
     A = levels[-1].A
     B = levels[-1].B
+    _t = {}
+    _t0 = _time.perf_counter()
+
+    def _mark(key):
+        nonlocal _t0
+        now = _time.perf_counter()
+        _t[key] = _t.get(key, 0.0) + (now - _t0)
+        _t0 = now
 
     AH = None
     BH = None
@@ -125,6 +134,7 @@ def _extend_hierarchy(levels, strength, aggregate, smooth,
         BH = levels[-1].BH
 
     C = strength_measure(A, strength[lvl_idx])
+    _mark("strength")
     if diagonal_dominance:
         from pyamg_tpu.util.utils import eliminate_diag_dom_nodes
         flag, dd_kwargs = unpack_arg(diagonal_dominance)
@@ -140,6 +150,7 @@ def _extend_hierarchy(levels, strength, aggregate, smooth,
 
     AggOp, Cnodes = aggregate_dispatch(C, aggregate[lvl_idx],
                                        seed=seed + lvl_idx)
+    _mark("aggregate")
     coarse_grid = getattr(AggOp, "col_grid", None)
     nagg = AggOp.shape[1]
     nnodes = AggOp.shape[0]
@@ -152,13 +163,16 @@ def _extend_hierarchy(levels, strength, aggregate, smooth,
         BH = _improve_candidates(AH, BH, improve_candidates[lvl_idx])
         levels[-1].BH = BH
 
+    _mark("improve_candidates")
     T, Bc = fit_candidates(AggOp, B)
     TH = None
     BHc = None
     if symmetry == "nonsymmetric":
         TH, BHc = fit_candidates(AggOp, BH)
 
+    _mark("fit_candidates")
     P = smooth_prolongator(smooth[lvl_idx], A, T, C, Bc)
+    _mark("smooth_P")
 
     # grid-aligned single-candidate coarsening keeps tensor structure:
     # tag P (fine grid x coarse grid) so compress_stencils can build the
@@ -186,7 +200,10 @@ def _extend_hierarchy(levels, strength, aggregate, smooth,
     levels[-1].P = P
     levels[-1].R = R
 
+    _mark("transpose_R")
     Ac = _galerkin(R, A, P)
+    _mark("rap")
+    levels[-1]._setup_timings = _t
     if coarse_grid is not None and isinstance(Ac, ELL):
         import dataclasses
         Ac = dataclasses.replace(Ac, grid=coarse_grid)

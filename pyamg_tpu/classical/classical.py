@@ -57,9 +57,19 @@ def ruge_stuben_solver(A,
 def _extend_hierarchy(levels, strength, CF, interpolation, keep, seed):
     """One coarsening step (reference ``classical.py:123-203``).
     Returns True when coarsening must stop."""
+    import time as _time
     A = levels[-1].A
+    _t = {}
+    _t0 = _time.perf_counter()
+
+    def _mark(key):
+        nonlocal _t0
+        now = _time.perf_counter()
+        _t[key] = _t.get(key, 0.0) + (now - _t0)
+        _t0 = now
 
     C = strength_measure(A, strength, default=("classical", {}))
+    _mark("strength")
 
     fn, cf_kwargs = unpack_arg(CF)
     if fn == "CR":
@@ -68,6 +78,7 @@ def _extend_hierarchy(levels, strength, CF, interpolation, keep, seed):
     else:
         splitting = split_mod.split_dispatch(C, CF, seed=seed)
 
+    _mark("split")
     num_cpts = int(np.sum(splitting))
     if num_cpts == len(splitting) or num_cpts == 0:
         return True
@@ -84,7 +95,9 @@ def _extend_hierarchy(levels, strength, CF, interpolation, keep, seed):
     else:
         raise ValueError(f"unknown interpolation method {interpolation}")
 
+    _mark("interpolate")
     R = transpose(P)
+    _mark("transpose_R")
 
     if keep:
         levels[-1].C = C
@@ -93,5 +106,7 @@ def _extend_hierarchy(levels, strength, CF, interpolation, keep, seed):
     levels[-1].R = R
 
     Ac = spgemm(spgemm(R, A), P)
+    _mark("rap")
+    levels[-1]._setup_timings = _t
     levels.append(Level(A=Ac))
     return False

@@ -110,7 +110,16 @@ def remove_strong_FF_connections(A: ELL, C: ELL, splitting):
     (reference ``ruge_stuben.h:1133``).  Returns C with such values zeroed."""
     xp = _xp(A.vals, C.vals)
     split = xp.asarray(splitting, xp.int32)
-    xp = _xp(A.vals, C.vals)
+    if xp is np and not np.iscomplexobj(np.asarray(C.vals)):
+        # native O(nnz) scan — the vectorized twin below materializes an
+        # (n, W, W, W) tensor (GBs at 250k rows)
+        from pyamg_tpu import _native
+        drop = _native.remove_strong_ff_ell(
+            np.asarray(C.cols), np.asarray(C.vals),
+            np.asarray(C.row_nnz), np.asarray(split))
+        if drop is not None:
+            return ELL(C.cols, np.where(drop, 0, np.asarray(C.vals)),
+                       C.row_nnz, C.shape)
     n = A.shape[0]
     rows = xp.arange(n, dtype=xp.int32)[:, None]
     smask = C.valid_mask() & (C.cols != rows) & (C.vals != 0)
@@ -139,6 +148,28 @@ def classical_interpolation(A: ELL, C: ELL, splitting, theta=None,
         C = remove_strong_FF_connections(A, C, split)
     cmap, nc = _coarse_map(split)
     n = A.shape[0]
+
+    if xp is np and not np.iscomplexobj(np.asarray(A.vals)):
+        # native O(nnz*W) two-hop pass (the vectorized twin's
+        # (n, W, W, W) tensors dominate the whole RS setup otherwise)
+        from pyamg_tpu import _native
+        rows = np.arange(n, dtype=np.int32)[:, None]
+        cvals = np.asarray(C.vals)
+        ccols = np.asarray(C.cols)
+        smask = (np.arange(C.width)[None, :] <
+                 np.asarray(C.row_nnz)[:, None]) & \
+            (ccols != rows) & (cvals != 0)
+        nsc = ((smask & (np.asarray(split)[ccols] == 1))
+               .sum(axis=1))
+        out = _native.classical_interpolation_ell(
+            np.asarray(A.cols), np.asarray(A.vals), np.asarray(A.row_nnz),
+            ccols, cvals, np.asarray(C.row_nnz),
+            np.asarray(split), np.asarray(cmap), modified,
+            max(int(nsc.max(initial=0)), 1))
+        if out is not None:
+            p_cols, p_vals, p_nnz = out
+            return ELL(p_cols, p_vals.astype(np.asarray(A.vals).dtype),
+                       p_nnz, (n, nc))
 
     scols, smask, svals = _strength_pattern(A, C)
     strongC = smask & (split[scols] == 1)

@@ -144,6 +144,173 @@ def _cycle(mv, Mv, b, x, R, rtol, flexible):
     return xn, normr, j, cycres
 
 
+def _msign(x):
+    """Complex sign with _msign(0) = 1 (reference ``_mysign``,
+    ``_gmres_householder.py:13``)."""
+    ax = jnp.abs(x)
+    return jnp.where(ax == 0, jnp.ones_like(x), x / jnp.where(ax == 0, 1, ax))
+
+
+def _apply_reflectors(v, W, count, start, descending):
+    """Chain-apply Householder reflectors: v <- (I - 2 w w^H) v for
+    ``count`` reflectors from row ``start`` of W, in ascending or
+    descending row order (reference ``amg_core/krylov.h:38``
+    ``apply_householders``).  Sequential by construction (reflectors do
+    not commute); each step is one dot + one axpy over n."""
+    def body(t, v):
+        k = jnp.where(descending, start + count - 1 - t, start + t)
+        wk = W[k]
+        coef = 2.0 * jnp.vdot(wk, v)
+        return v - coef.astype(v.dtype) * wk
+    return lax.fori_loop(0, count, body, v)
+
+
+def _householder_cycle(mv, Mv, b, x, R, rtol):
+    """One traceable Householder-GMRES restart cycle (reference
+    ``_gmres_householder.py:185-330``).
+
+    The Arnoldi basis is represented implicitly by Householder reflectors
+    W: step j builds ``v = P_0..P_j e_j`` (reflector chain), applies the
+    preconditioned operator, re-reflects, then forms a NEW reflector
+    zeroing v below row j+1 — so the Hessenberg column is exact to
+    working precision (Householder's robustness advantage over MGS/CGS2
+    on severely ill-conditioned bases).  Returns (xn, normr, j, cycres).
+    """
+    n = b.shape[0]
+    dtype = b.dtype
+    rdt = real_dtype(dtype)
+    idx = jnp.arange(n)
+
+    r = Mv(b - mv(x))
+    normr0 = norm(r)
+    beta = (_msign(r[0]) * normr0).astype(dtype)
+    w0 = r.at[0].add(beta)
+    w0n = norm(w0)
+    w0 = jnp.where(w0n > 1e-300,
+                   (w0 / jnp.where(w0n == 0, 1, w0n)).astype(dtype), 0)
+    W = jnp.zeros((R + 1, n), dtype).at[0].set(w0)
+    H = jnp.zeros((R, R), dtype)
+    cs = jnp.ones((R,), rdt)
+    sn = jnp.zeros((R,), dtype)
+    g = jnp.zeros((R + 1,), dtype).at[0].set(-beta)
+    cycres = jnp.zeros((R,), rdt)
+
+    def cond(st):
+        W, H, cs, sn, g, cycres, j, done = st
+        return (~done) & (j < R)
+
+    def body(st):
+        W, H, cs, sn, g, cycres, j, done = st
+        # v = P_0 P_1 .. P_j e_j, built inside-out: start from
+        # (I - 2 w_j w_j^H) e_j then apply P_{j-1}..P_0
+        wj = W[j]
+        v = (-2.0 * jnp.conj(wj[j])).astype(dtype) * wj
+        v = v.at[j].add(1.0)
+        v = _apply_reflectors(v, W, j, 0, descending=True)
+        v = Mv(mv(v))
+        # reflect the new direction into the triangular frame: P_j..P_0 v
+        v = _apply_reflectors(v, W, j + 1, 0, descending=False)
+        # next reflector zeroes v[j+2:].  Guard j+1 == n (R == n last
+        # step): dynamic reads clamp, so read explicitly-safe values
+        # (the reference skips this block at inner == n-1).
+        jn = jnp.minimum(j + 1, n - 1)
+        tail = idx > j
+        tail_norm = norm(jnp.where(tail, v, 0))
+        alpha = (_msign(v[jn]) * tail_norm).astype(dtype)
+        wn_vec = jnp.where(tail, v, 0).at[j + 1].add(alpha)
+        wnn = norm(wn_vec)
+        wn_vec = jnp.where(wnn > 1e-300,
+                           (wn_vec / jnp.where(wnn == 0, 1, wnn))
+                           .astype(dtype), 0)
+        W2 = W.at[j + 1].set(wn_vec)
+        v = v.at[j + 1].set(-alpha)
+        v = jnp.where(idx > j + 1, 0, v)
+
+        # previously accumulated Givens rotations
+        def rot_body(i, v):
+            vi, vi1 = v[i], v[i + 1]
+            v = v.at[i].set((cs[i] * vi + sn[i] * vi1).astype(dtype))
+            return v.at[i + 1].set(
+                (-jnp.conj(sn[i]) * vi + cs[i] * vi1).astype(dtype))
+
+        v = lax.fori_loop(0, j, rot_body, v)
+        vj1 = jnp.where(j + 1 < n, v[jn], jnp.zeros((), dtype))
+        c, s, rr = _givens(v[j], vj1)
+        v = v.at[j].set(rr.astype(dtype)).at[j + 1].set(0)
+        cs2 = cs.at[j].set(jnp.real(c).astype(rdt))
+        sn2 = sn.at[j].set(s.astype(dtype))
+        gj = g[j]
+        g2 = g.at[j].set((c * gj).astype(dtype)) \
+             .at[j + 1].set((-jnp.conj(s) * gj).astype(dtype))
+        H2 = H.at[:, j].set(v[:R])
+        normr = jnp.abs(g2[j + 1])
+        cyc2 = cycres.at[j].set(normr.astype(rdt))
+        breakdown = (tail_norm <= 1e-300) & (jnp.abs(rr) <= 1e-300)
+        return (W2, H2, cs2, sn2, g2, cyc2, j + 1,
+                (normr < rtol) | breakdown)
+
+    init = (W, H, cs, sn, g, cycres, jnp.int32(0), normr0 < rtol)
+    W, H, cs, sn, g, cycres, j, done = lax.while_loop(cond, body, init)
+
+    # y = H[:j,:j]^-1 g[:j]  (padded triangular solve)
+    ridx = jnp.arange(R)
+    active = ridx < j
+    Hs = jnp.where(active[None, :] & active[:, None], H,
+                   jnp.eye(R, dtype=dtype))
+    dsafe = jnp.abs(jnp.diagonal(Hs)) > 1e-300
+    Hs = jnp.where((~dsafe[:, None]) & (ridx[None, :] == ridx[:, None]),
+                   jnp.eye(R, dtype=dtype), Hs)
+    y = jax.scipy.linalg.solve_triangular(Hs, jnp.where(active, g[:R], 0),
+                                          lower=False)
+    y = jnp.where(active, y, 0)
+
+    # Horner scheme back to the original space (reference
+    # ``householder_hornerscheme``, ``amg_core/krylov.h:107``):
+    # update = P_0 (y_0 e_0 + P_1 (y_1 e_1 + ... P_{j-1} y_{j-1} e_{j-1}))
+    def horner(t, u):
+        k = j - 1 - t
+        u = u.at[k].add(y[k])
+        wk = W[k]
+        coef = 2.0 * jnp.vdot(wk, u)
+        return u - coef.astype(dtype) * wk
+
+    update = lax.fori_loop(0, j, horner, jnp.zeros_like(b))
+    xn = x + update
+    normr = jnp.abs(g[j])
+    return xn, normr, j, cycres
+
+
+def householder_loop(mv, Mv, x, b, tol, R, max_outer):
+    """Traceable restarted Householder-GMRES solve: (x, info, resbuf,
+    nres).  Same contract as ``gmres_loop``."""
+    rdt = real_dtype(b.dtype)
+    normMb = norm(Mv(b))
+    normMb = jnp.where(normMb == 0, 1.0, normMb)
+    rtol = (tol * normMb).astype(rdt)
+    npr0 = norm(Mv(b - mv(x)))
+    nbuf = max_outer * R + 1
+    resbuf = jnp.zeros((nbuf,), rdt).at[0].set(npr0.astype(rdt))
+
+    def cond(st):
+        x, it, outer, nres, resbuf, done = st
+        return (~done) & (outer < max_outer)
+
+    def body(st):
+        x, it, outer, nres, resbuf, done = st
+        xn, normr, j, cycres = _householder_cycle(mv, Mv, b, x, R, rtol)
+        resbuf = lax.dynamic_update_slice(resbuf, cycres.astype(rdt),
+                                          (nres,))
+        return (xn, it + j, outer + 1, nres + j, resbuf,
+                (normr < rtol) | (j == 0))
+
+    x, it, outer, nres, resbuf, done = lax.while_loop(
+        cond, body, (x, jnp.int32(0), jnp.int32(0), jnp.int32(1), resbuf,
+                     npr0 < rtol))
+    final = norm(Mv(b - mv(x)))
+    info = jnp.where(final < rtol, 0, it)
+    return x, info, resbuf, nres
+
+
 def gmres_loop(mv, Mv, x, b, tol, R, max_outer, flexible=False):
     """Traceable restarted-GMRES solve: (x, info, resbuf, nres).
 
@@ -190,7 +357,7 @@ def gmres_loop(mv, Mv, x, b, tol, R, max_outer, flexible=False):
 
 
 def _gmres_driver(A, b, x0, tol, restart, maxiter, M, callback, residuals,
-                  flexible):
+                  flexible, method="cgs2"):
     mv, n, dtype, fro, b, x, _ = prepare(A, b, x0, None)
     Mv = as_precond(M)
     if restart is None:
@@ -202,8 +369,12 @@ def _gmres_driver(A, b, x0, tol, restart, maxiter, M, callback, residuals,
             10000 // max(R, 1), 100))
 
     if callback is None:
-        run = jax.jit(lambda x, b: gmres_loop(mv, Mv, x, b, tol, R,
-                                              max_outer, flexible))
+        if method == "householder":
+            run = jax.jit(lambda x, b: householder_loop(mv, Mv, x, b, tol,
+                                                        R, max_outer))
+        else:
+            run = jax.jit(lambda x, b: gmres_loop(mv, Mv, x, b, tol, R,
+                                                  max_outer, flexible))
         x, info, resbuf, nres = run(x, b)
         if residuals is not None:
             k = int(nres)
@@ -219,7 +390,10 @@ def _gmres_driver(A, b, x0, tol, restart, maxiter, M, callback, residuals,
         residuals[:] = [float(norm(pr0))]
     if float(norm(pr0)) < rtol:
         return x, 0
-    cycle = jax.jit(lambda x: _cycle(mv, Mv, b, x, R, rtol, flexible))
+    if method == "householder":
+        cycle = jax.jit(lambda x: _householder_cycle(mv, Mv, b, x, R, rtol))
+    else:
+        cycle = jax.jit(lambda x: _cycle(mv, Mv, b, x, R, rtol, flexible))
     it_total = 0
     for _outer in range(max_outer):
         x, normr, j, cycres = cycle(x)
@@ -248,40 +422,32 @@ def gmres_mgs(A, b, x0=None, tol=1e-5, restart=None, maxiter=None, M=None,
 
 def gmres_householder(A, b, x0=None, tol=1e-5, restart=None, maxiter=None,
                       M=None, callback=None, residuals=None, restrt=None):
-    """Householder-GMRES (reference ``_gmres_householder.py``).
+    """Householder-GMRES (reference ``_gmres_householder.py:22``).
 
-    The reference zeroes each Arnoldi vector's trailing entries with exact
-    Householder reflectors (``amg_core/krylov.h:38,107``).  On TPU that
-    per-entry reflector chain is sequential and gather-bound, so this runs
-    the same matmul-shaped CGS2 Arnoldi cycle — which delivers
-    Householder-class orthogonality (tests/test_krylov.py asserts
-    ``||V^H V - I||`` parity on ill-conditioned cases) at MXU speed.  A
-    ``PendingDeprecationWarning``-style notice is NOT raised here because
-    this name is an intentional algorithm substitution; it IS raised from
-    the ``gmres(orthog='householder')`` dispatcher where the reference
-    would behave numerically differently per-iterate.
+    True Householder orthogonalization: the Arnoldi basis is held as a
+    chain of reflectors (``amg_core/krylov.h:38`` ``apply_householders``)
+    and the solution is mapped back by the Horner scheme
+    (``krylov.h:107``).  Exact-to-working-precision orthogonality — the
+    robust choice for severely ill-conditioned bases.  Each iteration
+    applies O(j) sequential dot+axpy reflections, so on TPU it trades
+    the CGS2 cycle's MXU-matmul orthogonalization for robustness; prefer
+    ``gmres_mgs`` (CGS2) for speed.
     """
-    return gmres_mgs(A, b, x0=x0, tol=tol, restart=restart, maxiter=maxiter,
-                     M=M, callback=callback, residuals=residuals,
-                     restrt=restrt)
+    if restrt is not None:
+        restart = restrt
+    return _gmres_driver(A, b, x0, tol, restart, maxiter, M, callback,
+                         residuals, flexible=False, method="householder")
 
 
 def gmres(A, b, x0=None, tol=1e-5, restart=None, maxiter=None, M=None,
           callback=None, residuals=None, orthog="mgs", restrt=None, **kwargs):
-    """GMRES dispatcher (reference ``_gmres.py``): orthog in
-    {'mgs', 'householder', 'cgs2'} all map to the CGS2 device cycle.
-
-    ``orthog='householder'`` warns: iterates match the reference only at
-    the convergence level (same Krylov space, different orthogonalization
-    rounding), not bitwise.
-    """
+    """GMRES dispatcher (reference ``_gmres.py``): ``orthog`` selects
+    'mgs'/'cgs2' (the matmul-shaped CGS2 device cycle) or 'householder'
+    (true reflector-chain orthogonalization, ``gmres_householder``)."""
     if orthog == "householder":
-        import warnings
-        warnings.warn("orthog='householder' runs the CGS2 Arnoldi cycle "
-                      "on TPU (reflector chains are sequential); iterates "
-                      "agree with the reference's Householder variant at "
-                      "convergence-behavior level, not bitwise",
-                      stacklevel=2)
+        return gmres_householder(A, b, x0=x0, tol=tol, restart=restart,
+                                 maxiter=maxiter, M=M, callback=callback,
+                                 residuals=residuals, restrt=restrt)
     return gmres_mgs(A, b, x0=x0, tol=tol, restart=restart, maxiter=maxiter,
                      M=M, callback=callback, residuals=residuals,
                      restrt=restrt)

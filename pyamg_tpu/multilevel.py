@@ -168,6 +168,19 @@ class MultilevelSolver:
         total += nnz[-1] * visits(len(nnz) - 1)
         return total / nnz[0]
 
+    def setup_timings(self):
+        """Aggregate per-phase setup wall times across levels (seconds).
+
+        Phases are recorded by the hierarchy constructors
+        (strength/aggregate-or-split/fit/smooth/interpolate/rap); empty
+        dict when the hierarchy was built another way.
+        """
+        out = {}
+        for l in self.levels:
+            for k, v in getattr(l, "_setup_timings", {}).items():
+                out[k] = out.get(k, 0.0) + v
+        return out
+
     def __repr__(self):
         lines = [f"MultilevelSolver",
                  f"Number of Levels:     {len(self.levels)}",

@@ -21,7 +21,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from pyamg_tpu.sparse.matrix import ELL, BELL
+from pyamg_tpu.sparse.matrix import ELL, BELL, is_concrete
+
+
+def _xp(*arrays):
+    """numpy on the host/setup path, jnp under trace (the setup phase must
+    never issue eager jnp ops: each becomes a per-shape XLA compile, and on
+    a remote-TPU default device a tunnel round-trip too)."""
+    return np if is_concrete(*arrays) else jnp
 from pyamg_tpu.ops import spgemm, scale_rows
 from pyamg_tpu.ops.spgemm import masked_spgemm
 from pyamg_tpu.ops.transpose import transpose
@@ -32,13 +39,14 @@ from pyamg_tpu.ops.spmv import extract_diagonal
 def _apply_distance_filter(cols, vals, valid, epsilon):
     """Keep off-diagonal 'distances' within epsilon of the row minimum
     (reference ``evolution_strength.h:141``)."""
+    xp = _xp(cols, vals)
     n = cols.shape[0]
-    rows = jnp.arange(n, dtype=jnp.int32)[:, None]
+    rows = xp.arange(n, dtype=xp.int32)[:, None]
     offd = valid & (cols != rows) & (vals != 0)
-    mn = jnp.min(jnp.where(offd, vals, jnp.inf), axis=1, keepdims=True)
+    mn = xp.min(xp.where(offd, vals, xp.inf), axis=1, keepdims=True)
     keep = offd & (vals <= epsilon * mn)
     keep = keep | (valid & (cols == rows))
-    return jnp.where(keep, vals, 0), keep
+    return xp.where(keep, vals, 0), keep
 
 
 def evolution_strength_of_connection(A, B=None, epsilon=4.0, k=2,
@@ -58,6 +66,7 @@ def evolution_strength_of_connection(A, B=None, epsilon=4.0, k=2,
         from pyamg_tpu.sparse.matrix import to_scipy, from_scipy
         A = from_scipy(to_scipy(A).tocsr())
 
+    xp = _xp(A.vals)
     n = A.shape[0]
     if B is None:
         Bmat = np.ones((n, 1))
@@ -68,24 +77,24 @@ def evolution_strength_of_connection(A, B=None, epsilon=4.0, k=2,
     NullDim = Bmat.shape[1]
 
     D = extract_diagonal(A)
-    Dinv = jnp.where(D != 0, 1.0 / jnp.where(D == 0, 1, D), 1.0)
+    Dinv = xp.where(D != 0, 1.0 / xp.where(D == 0, 1, D), 1.0)
     DinvA = scale_rows(A, Dinv)
     from pyamg_tpu.util.linalg import approximate_spectral_radius
     rho = approximate_spectral_radius(DinvA)
 
     # S = (I - 1/rho DinvA)^T
     from pyamg_tpu.ops.arith import add_scaled_identity
-    S = add_scaled_identity(scale_rows(DinvA, jnp.full((n,), -1.0 / rho)),
+    S = add_scaled_identity(scale_rows(DinvA, xp.full((n,), -1.0 / rho)),
                             alpha=1.0, beta=1.0)
     S = transpose(S)
 
     # mask = pattern of A (PDE-local couplings only for systems)
-    rows = jnp.arange(n, dtype=jnp.int32)[:, None]
+    rows = xp.arange(n, dtype=xp.int32)[:, None]
     mask_valid = A.valid_mask()
     if numPDEs > 1:
         same_pde = (A.cols % numPDEs) == (rows % numPDEs)
         mask_valid = mask_valid & same_pde
-    mask = ell_dedup(A.cols, jnp.where(mask_valid, 1.0, 0.0),
+    mask = ell_dedup(A.cols, xp.where(mask_valid, 1.0, 0.0),
                      mask_valid, A.shape)
 
     nsquare = int(np.log2(k))
@@ -116,24 +125,24 @@ def evolution_strength_of_connection(A, B=None, epsilon=4.0, k=2,
 
     valid = Atilde.valid_mask()
     if NullDim == 1:
-        Bvec = jnp.asarray(np.where(Bmat[:, 0] == 0, 1.0, Bmat[:, 0]))
+        Bvec = xp.asarray(np.where(Bmat[:, 0] == 0, 1.0, Bmat[:, 0]))
         data = Atilde.vals
         DAtilde = extract_diagonal(Atilde)
         DAdivB = DAtilde / Bvec
         # candidate approximation: row-scaled constant mode
         approx = DAdivB[:, None] * Bvec[Atilde.cols]
-        angle = (jnp.real(approx) * jnp.real(data) +
-                 jnp.imag(approx) * jnp.imag(data)) < 0
-        ratio = approx / jnp.where(data == 0, 1, data)
-        weak = jnp.abs(ratio) < 1e-4
-        vals = jnp.abs(1.0 - ratio)
-        vals = jnp.where(weak | angle | (data == 0), 0.0, vals)
+        angle = (xp.real(approx) * xp.real(data) +
+                 xp.imag(approx) * xp.imag(data)) < 0
+        ratio = approx / xp.where(data == 0, 1, data)
+        weak = xp.abs(ratio) < 1e-4
+        vals = xp.abs(1.0 - ratio)
+        vals = xp.where(weak | angle | (data == 0), 0.0, vals)
         eps_floor = np.sqrt(np.finfo(float).eps)
-        vals = jnp.where((vals < eps_floor) & (vals != 0), 1e-4, vals)
+        vals = xp.where((vals < eps_floor) & (vals != 0), 1e-4, vals)
     else:
         vals = _multi_candidate_measure(Atilde, Bmat, D, proj_type)
 
-    vals = jnp.real(vals)
+    vals = xp.real(vals)
     valid = valid & (vals != 0)
 
     if epsilon != np.inf:
@@ -144,13 +153,14 @@ def evolution_strength_of_connection(A, B=None, epsilon=4.0, k=2,
     if symmetrize_measure:
         from pyamg_tpu.ops.arith import add
         St = transpose(S_out)
-        S_out = add(ELL(S_out.cols, 0.5 * S_out.vals, S_out.row_nnz,
-                        S_out.shape),
-                    ELL(St.cols, 0.5 * St.vals, St.row_nnz, St.shape))
+        S_out = add(ELL(S_out.cols, 0.5 * xp.asarray(S_out.vals),
+                        S_out.row_nnz, S_out.shape),
+                    ELL(St.cols, 0.5 * xp.asarray(St.vals), St.row_nnz,
+                        St.shape))
 
     # set the diagonal to 1.0
     from pyamg_tpu.ops.arith import with_diagonal
-    S_out = with_diagonal(S_out, jnp.ones((n,)))
+    S_out = with_diagonal(S_out, xp.ones((n,)))
 
     if numPDEs > 1:
         # block-min reduction back to the node graph (min_blocks)
@@ -166,12 +176,12 @@ def evolution_strength_of_connection(A, B=None, epsilon=4.0, k=2,
                                          shape=(nb, nb)))
 
     # invert values (distance -> strength) and row-scale
-    iv = jnp.where(S_out.vals != 0,
-                   1.0 / jnp.where(S_out.vals == 0, 1, S_out.vals), 0)
+    iv = xp.where(S_out.vals != 0,
+                  1.0 / xp.where(S_out.vals == 0, 1, S_out.vals), 0)
     from pyamg_tpu.strength import _scale_rows_by_largest_entry
     keep = S_out.valid_mask() & (iv != 0)
     iv = _scale_rows_by_largest_entry(S_out.cols, iv, keep)
-    return ell_dedup(S_out.cols, jnp.where(keep, iv, 0), keep, S_out.shape)
+    return ell_dedup(S_out.cols, xp.where(keep, iv, 0), keep, S_out.shape)
 
 
 def _multi_candidate_measure(Atilde: ELL, Bmat, D, proj_type):
@@ -184,29 +194,30 @@ def _multi_candidate_measure(Atilde: ELL, Bmat, D, proj_type):
         min_c || diag(w)^(1/2) (B[J] c - z) ||
     and set strength[i, j] = |1 - (B[J] c)_j / z_j| (same weak/angle
     guards as NullDim == 1)."""
+    xp = _xp(Atilde.vals)
     n, W = Atilde.cols.shape
-    B = jnp.asarray(Bmat)
+    B = xp.asarray(Bmat)
     K = B.shape[1]
     valid = Atilde.valid_mask()
     z = Atilde.vals
-    BJ = jnp.where(valid[:, :, None], B[Atilde.cols], 0)   # (n, W, K)
+    BJ = xp.where(valid[:, :, None], B[Atilde.cols], 0)   # (n, W, K)
     if proj_type == "D_A":
-        w = jnp.where(valid, jnp.abs(jnp.asarray(D))[Atilde.cols], 0)
+        w = xp.where(valid, xp.abs(xp.asarray(D))[Atilde.cols], 0)
     else:
         w = valid.astype(z.dtype)
     # normal equations (K x K per row)
-    G = jnp.einsum("nwp,nw,nwq->npq", jnp.conjugate(BJ), w, BJ)
-    rhs = jnp.einsum("nwp,nw,nw->np", jnp.conjugate(BJ), w, z)
+    G = xp.einsum("nwp,nw,nwq->npq", xp.conjugate(BJ), w, BJ)
+    rhs = xp.einsum("nwp,nw,nw->np", xp.conjugate(BJ), w, z)
     from pyamg_tpu.util.linalg import pinv_array
     Ginv = pinv_array(G)
-    c = jnp.einsum("npq,nq->np", Ginv, rhs)
-    approx = jnp.einsum("nwp,np->nw", BJ, c)
-    angle = (jnp.real(approx) * jnp.real(z) +
-             jnp.imag(approx) * jnp.imag(z)) < 0
-    ratio = approx / jnp.where(z == 0, 1, z)
-    weak = jnp.abs(ratio) < 1e-4
-    vals = jnp.abs(1.0 - ratio)
-    vals = jnp.where(weak | angle | (z == 0), 0.0, vals)
+    c = xp.einsum("npq,nq->np", xp.asarray(Ginv), rhs)
+    approx = xp.einsum("nwp,np->nw", BJ, c)
+    angle = (xp.real(approx) * xp.real(z) +
+             xp.imag(approx) * xp.imag(z)) < 0
+    ratio = approx / xp.where(z == 0, 1, z)
+    weak = xp.abs(ratio) < 1e-4
+    vals = xp.abs(1.0 - ratio)
+    vals = xp.where(weak | angle | (z == 0), 0.0, vals)
     eps_floor = np.sqrt(np.finfo(float).eps)
-    vals = jnp.where((vals < eps_floor) & (vals != 0), 1e-4, vals)
+    vals = xp.where((vals < eps_floor) & (vals != 0), 1e-4, vals)
     return vals

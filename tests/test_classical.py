@@ -233,3 +233,63 @@ def test_air_use_gmres_local_solves():
     x = ml.solve(jnp.asarray(b), maxiter=30, tol=1e-10)
     r = np.linalg.norm(b - As @ np.asarray(x)) / np.linalg.norm(b)
     assert r < 1e-8
+
+
+class TestNativeInterpolationParity:
+    """Native O(nnz*W) classical-interpolation kernels vs the vectorized
+    numpy twin (the gold), mirroring the reference's kernel-vs-gold
+    discipline (SURVEY.md §4.1)."""
+
+    def _mats(self, seed=0, n=30):
+        import scipy.sparse as sp
+        from pyamg_tpu.gallery import poisson
+        from pyamg_tpu.sparse.matrix import from_scipy, to_scipy
+        rng = np.random.default_rng(seed)
+        A1 = poisson((n, n))
+        # unstructured nonsymmetric-ish SPD-perturbed matrix
+        S = to_scipy(A1).tolil()
+        idx = rng.integers(0, n * n, size=4 * n)
+        for i, j in zip(idx[::2], idx[1::2]):
+            S[int(i), int(j)] = rng.standard_normal() * 0.3
+        A2 = from_scipy(S.tocsr())
+        return [A1, A2]
+
+    def test_native_matches_numpy_twin(self, monkeypatch):
+        from pyamg_tpu import _native
+        from pyamg_tpu.classical import interpolate as itp
+        from pyamg_tpu.classical.split import split_dispatch
+        from pyamg_tpu.strength import classical_strength_of_connection
+        from pyamg_tpu.sparse.matrix import to_scipy
+        assert _native.get_lib() is not None
+        for A in self._mats():
+            C = classical_strength_of_connection(A, theta=0.25)
+            split = np.asarray(split_dispatch(C, "RS"))
+            for modified in (True, False):
+                P_nat = itp.classical_interpolation(
+                    A, C, split, modified=modified)
+                with monkeypatch.context() as m:
+                    m.setattr(_native, "classical_interpolation_ell",
+                              lambda *a, **k: None)
+                    m.setattr(_native, "remove_strong_ff_ell",
+                              lambda *a, **k: None)
+                    P_np = itp.classical_interpolation(
+                        A, C, split, modified=modified)
+                D = (to_scipy(P_nat) - to_scipy(P_np)).tocsr()
+                assert abs(D).max() < 1e-12 if D.nnz else True
+
+    def test_native_ff_matches_numpy_twin(self, monkeypatch):
+        from pyamg_tpu import _native
+        from pyamg_tpu.classical import interpolate as itp
+        from pyamg_tpu.classical.split import split_dispatch
+        from pyamg_tpu.strength import classical_strength_of_connection
+        from pyamg_tpu.sparse.matrix import to_scipy
+        for A in self._mats(seed=3):
+            C = classical_strength_of_connection(A, theta=0.25)
+            split = np.asarray(split_dispatch(C, "RS"))
+            C_nat = itp.remove_strong_FF_connections(A, C, split)
+            with monkeypatch.context() as m:
+                m.setattr(_native, "remove_strong_ff_ell",
+                          lambda *a, **k: None)
+                C_np = itp.remove_strong_FF_connections(A, C, split)
+            D = (to_scipy(C_nat) - to_scipy(C_np)).tocsr()
+            assert abs(D).max() < 1e-14 if D.nnz else True
