@@ -367,12 +367,15 @@ def _air_solve_host(Acols, Avals, Arow_nnz, n_cols, nbrs, cpts):
     A_sys = np.where(okj, A_loc, 0) + pad_eye
     b = np.where(ok, b, 0)
     At = np.swapaxes(A_sys, 1, 2)
-    try:
-        r = np.linalg.solve(At, b[..., None])[..., 0]
-        bad = ~np.isfinite(r).all(axis=1)
-    except np.linalg.LinAlgError:
-        r = np.zeros_like(b)
-        bad = np.ones((ncp,), bool)
+    # pre-detect exactly-singular local systems: one such system makes
+    # the whole batched LAPACK solve raise, which would force a Python
+    # lstsq loop over ALL ncp systems.  Substitute identity for the
+    # singular ones, batch-solve, then lstsq only those rows.
+    with np.errstate(all="ignore"):
+        sing = ~np.isfinite(np.linalg.cond(At))
+    A_solve = np.where(sing[:, None, None], np.eye(M, dtype=At.dtype), At)
+    r = np.linalg.solve(A_solve, b[..., None])[..., 0]
+    bad = sing | ~np.isfinite(r).all(axis=1)
     if bad.any():
         for i in np.where(bad)[0]:
             r[i] = np.linalg.lstsq(At[i], b[i], rcond=None)[0]
@@ -414,6 +417,10 @@ def _air_solve(Acols, Avals, Arow_nnz, n_cols, nbrs, cpts,
         r = _dense_gmres_batch(At, b, m=m, precondition=precondition)
     else:
         r = jnp.linalg.solve(At, b[..., None])[..., 0]
+    # singular local systems yield non-finite rows from the LU solve
+    # (the host twin falls back to lstsq); zero them so the C-point's
+    # restriction row degrades to plain injection instead of NaN
+    r = jnp.where(jnp.isfinite(r).all(axis=1, keepdims=True), r, 0)
     return r, ok
 
 

@@ -147,26 +147,45 @@ class MultilevelSolver:
             self.levels[0].A.shape[0]
 
     def cycle_complexity(self, cycle="V"):
-        """Approximate work per cycle in units of fine-grid nnz
-        (reference ``multilevel.py:211``)."""
+        """Work per (1,1)-cycle in units of fine-grid nnz — exact
+        semantics of reference ``multilevel.py:211-284``: each level
+        visit costs 2*nnz (pre+post smoothing at one nnz each), the
+        coarsest solve costs its nnz; V/W/F recursions differ in how
+        often coarser levels are visited (AMLI counts as W)."""
         cycle = str(cycle).upper()
         nnz = [l.A.nnz for l in self.levels]
+        nlev = len(nnz)
 
-        def visits(lvl):
-            if cycle == "V":
-                return 1
-            if cycle == "W":
-                return 2 ** lvl
-            if cycle == "F":
-                return lvl + 1
-            if cycle == "AMLI":
-                return 2 ** lvl
+        def V(level):
+            if nlev == 1:
+                return nnz[0]
+            if level == nlev - 2:
+                return 2 * nnz[level] + nnz[level + 1]
+            return 2 * nnz[level] + V(level + 1)
+
+        def W(level):
+            if nlev == 1:
+                return nnz[0]
+            if level == nlev - 2:
+                return 2 * nnz[level] + nnz[level + 1]
+            return 2 * nnz[level] + 2 * W(level + 1)
+
+        def F(level):
+            if nlev == 1:
+                return nnz[0]
+            if level == nlev - 2:
+                return 2 * nnz[level] + nnz[level + 1]
+            return 2 * nnz[level] + F(level + 1) + V(level + 1)
+
+        if cycle == "V":
+            flops = V(0)
+        elif cycle in ("W", "AMLI"):
+            flops = W(0)
+        elif cycle == "F":
+            flops = F(0)
+        else:
             raise TypeError(f"unrecognized cycle type {cycle!r}")
-
-        # rough model: smoothing+residual ~ 3 SpMV-equivalents per visit
-        total = sum(3.0 * nnz[i] * visits(i) for i in range(len(nnz) - 1))
-        total += nnz[-1] * visits(len(nnz) - 1)
-        return total / nnz[0]
+        return float(flops) / float(nnz[0])
 
     def setup_timings(self):
         """Aggregate per-phase setup wall times across levels (seconds).

@@ -98,14 +98,138 @@ def _pad_x(A: SELL, x):
     return jnp.pad(x2, ((A.pad_top, A.x_rows - A.pad_top - rows), (0, 0)))
 
 
+# x footprint beyond which the square kernel streams x via windowed DMA
+# instead of keeping all of it VMEM-resident (v5e VMEM ~16 MB/core; the
+# kernel also stages a (T, TRow, 128) vals+delta block pair)
+_VMEM_X_BUDGET = 6 * 1024 * 1024
+
+
+@functools.lru_cache(maxsize=None)
+def _spmv_tiled_call(bases_static, Sy, K, TRow, dtype_name,
+                     interpret=False):
+    """Tiled square-SELL SpMV: x streams through the normal BlockSpec
+    pipeline as two neighbouring (TRow, 128) blocks per output tile —
+    this is what scales the kernel past VMEM (n = 10^7+), and it writes
+    each output element exactly once (the VMEM-resident kernel revisits
+    the output per pass).
+
+    Two deliberate choices, both load-bearing for Mosaic:
+    * ``bases_static`` (the per-pass window bases, a handful of ints) are
+      baked in as constants, so every x read has a STATIC sublane offset.
+      Dynamic sublane starts force full-buffer relayouts (measured 15
+      ms/tile; same reason the DIA kernel uses aligned loads + lane
+      rolls).
+    * No manual ``make_async_copy``: on this toolchain a kernel
+      containing an HBM->VMEM DMA takes 200-400 s to compile (vs seconds
+      for the same math through the auto-pipelined BlockSpec path).
+
+    Requires the coupling span ``(base_hi - base_lo + K - 1) <= TRow``
+    so every window fits in the tile's own x block plus its successor;
+    the caller pads x so tile i's window starts inside x-block i.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    dtype = jnp.dtype(dtype_name)
+    T = len(bases_static)
+    ntiles = Sy // TRow
+    base_lo = min(bases_static)
+    lead = -base_lo        # signed: the caller aligns x so tile i's
+                           # window starts at x-block i, row 0
+
+    def kernel(delta_ref, vals_ref, xa_ref, xb_ref, o_ref):
+        acc = jnp.zeros((TRow, LANE), dtype)
+        for p, w in enumerate(bases_static):
+            d = delta_ref[p]
+            lane = d & (LANE - 1)
+            ksel = d >> 7
+            contrib = jnp.zeros((TRow, LANE), dtype)
+            for k in range(K):
+                s = w + k + lead                    # static, in [0, TRow]
+                if s == 0:
+                    O = xa_ref[...]
+                elif s < TRow:
+                    O = jnp.concatenate(
+                        [xa_ref[s:, :], xb_ref[:s, :]], axis=0)
+                else:
+                    O = xb_ref[s - TRow:s, :]
+                g = jnp.take_along_axis(O, lane, axis=1)
+                contrib = jnp.where(ksel == k, g, contrib)
+            acc = acc + vals_ref[p] * contrib
+        o_ref[...] = acc
+
+    return pl.pallas_call(
+        kernel,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((T, TRow, LANE), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),                 # delta
+            pl.BlockSpec((T, TRow, LANE), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),                 # vals
+            pl.BlockSpec((TRow, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),                 # x blk i
+            pl.BlockSpec((TRow, LANE), lambda i: (i + 1, 0),
+                         memory_space=pltpu.VMEM),                 # x blk i+1
+        ],
+        out_specs=pl.BlockSpec((TRow, LANE), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Sy, LANE), dtype),
+        interpret=interpret,
+    )
+
+
+_TILE_BLOCK_BUDGET = 6 * 1024 * 1024   # per-tile VMEM for vals+delta+x blocks
+
+
+def _pick_tile_rows(T, K, span, Sy):
+    """Largest row-tile that fits the budget and covers the span."""
+    for TRow in (512, 256, 128, 64, 32, 16, 8):
+        if Sy % TRow != 0 or span > TRow:
+            continue
+        blk = 2 * T * TRow * LANE * 4 + 3 * TRow * LANE * 4
+        if blk <= _TILE_BLOCK_BUDGET:
+            return TRow
+    return None
+
+
+def _pad_x_tiled(A: SELL, x, TRow):
+    """x staged for the tiled kernel: shifted so tile i's coupling window
+    begins at x-block i row 0 (x element ``128*base_lo`` lands at row 0),
+    with one extra block at the end for the window tails."""
+    m = A.shape[1]
+    ntiles = A.Sy // TRow
+    total = (ntiles + 1) * TRow * LANE
+    start = A.base_lo * LANE
+    xv = x.astype(A.vals.dtype)
+    if start < 0:
+        xv = jnp.pad(xv, (-start, 0))
+    elif start > 0:
+        xv = xv[start:]
+    xp = jnp.pad(xv, (0, total - xv.shape[0]))
+    return xp.reshape((ntiles + 1) * TRow, LANE)
+
+
 def sell_spmv(A: SELL, x, interpret=False):
-    """y = A @ x, one fused TPU kernel."""
+    """y = A @ x, one fused TPU kernel (tiled neighbour-block variant
+    when x exceeds the VMEM budget on square operators)."""
     if x.ndim == 2:
         return jax.vmap(lambda c: sell_spmv(A, c, interpret),
                         in_axes=1, out_axes=1)(x)
+    big = A.x_rows * LANE * 4 > _VMEM_X_BUDGET
+    if A.kind == "tall" and A.t == 1 and big:
+        span = A.base_hi - A.base_lo + A.K - 1
+        TRow = _pick_tile_rows(A.n_passes, A.K, span, A.Sy)
+        if TRow is not None:
+            call = _spmv_tiled_call(tuple(A.bases), A.Sy, A.K, TRow,
+                                    jnp.dtype(A.vals.dtype).name,
+                                    interpret)
+            y = call(A.delta, A.vals, _pad_x_tiled(A, x, TRow),
+                     _pad_x_tiled(A, x, TRow))
+            return y.reshape(-1)[:A.shape[0]]
     call = _spmv_call(A.n_passes, A.Sy, A.Sx, A.x_rows, A.t, A.kind, A.K,
                       A.pad_top, jnp.dtype(A.vals.dtype).name, interpret)
-    y = call(A.bases, A.delta, A.vals, _pad_x(A, x))
+    y = call(jnp.asarray(A.bases, jnp.int32), A.delta, A.vals,
+             _pad_x(A, x))
     return y.reshape(-1)[:A.shape[0]]
 
 
@@ -211,5 +335,6 @@ def sell_gs_sweep(A: SELL, x, b, Dinv, omega=1.0, sweep="forward",
     d2 = _pad_rows(A, Dinv, A.Sy)
     x2 = _pad_rows(A, x, A.x_rows, lead_rows=A.pad_top)
     om = jnp.asarray([omega], dt)
-    xn = call(A.bases, om, A.delta, A.vals, b2, d2, x2)
+    xn = call(jnp.asarray(A.bases, jnp.int32), om, A.delta, A.vals,
+              b2, d2, x2)
     return xn.reshape(-1)[A.pad_top * LANE: A.pad_top * LANE + A.shape[0]]

@@ -56,16 +56,18 @@ TILE_SUBLANES = 8          # sublane granularity for padding / GS tiles
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=("vals", "delta", "bases", "diag"),
-         meta_fields=("shape", "t", "kind", "K", "pad_top", "x_rows",
-                      "_nnz"))
+         data_fields=("vals", "delta", "diag"),
+         meta_fields=("bases", "shape", "t", "kind", "K", "pad_top",
+                      "x_rows", "_nnz", "base_lo", "base_hi"))
 @dataclasses.dataclass(frozen=True)
 class SELL:
     """Shift-ELL operator: a static pass plan of windowed lane-gathers."""
 
     vals: jax.Array      # (T, Sy, 128) value per (pass, output element)
     delta: jax.Array     # (T, Sy, 128) int32 local index in [0, 128*K)
-    bases: jax.Array     # (T,) int32 window base row per pass
+    bases: Tuple[int, ...]  # static window base row per pass (kernels bake
+                            # these in: dynamic sublane offsets force Mosaic
+                            # relayouts)
     diag: jax.Array      # (n,) main diagonal (square; else size 0)
     shape: Tuple[int, int]
     t: int               # integer row/col ratio
@@ -74,6 +76,8 @@ class SELL:
     pad_top: int         # guard rows above x in the padded x2 layout
     x_rows: int          # total rows of the padded x2 operand
     _nnz: int = 0
+    base_lo: int = 0     # min window base (static; drives the tiled kernel)
+    base_hi: int = 0     # max window base
 
     @property
     def n_rows(self) -> int:
@@ -133,12 +137,16 @@ def _roundup(a, b):
 
 
 def sell_from_ell(A, max_passes=None, max_elems=2_500_000,
+                  max_elems_square=40_000_000,
                   max_inflation=16.0, k_choices=(4, 8, 16)):
     """Build a SELL plan from a host-backed ELL; None if unsuitable.
 
     Host-side, setup phase.  Unsuitable means: non-f32, too large for the
-    VMEM-resident kernel, or offset structure too scattered (inflation or
-    pass count beyond bounds) — callers fall back to the jnp gather path.
+    kernels (square operators stream x in row-tile windows via explicit
+    DMA, so they scale to ~``max_elems_square``; rectangular ones keep x
+    VMEM-resident and cap at ``max_elems``), or offset structure too
+    scattered (inflation or pass count beyond bounds) — callers fall back
+    to the jnp gather path.
     """
     from pyamg_tpu.sparse.matrix import ELL
     if not isinstance(A, ELL):
@@ -148,7 +156,8 @@ def sell_from_ell(A, max_passes=None, max_elems=2_500_000,
         return None
     if np.dtype(A.vals.dtype) != np.float32:
         return None
-    if max(n, m) > max_elems:
+    cap = max_elems_square if n == m else max_elems
+    if max(n, m) > cap:
         return None
 
     cols = np.asarray(A.cols)
@@ -168,6 +177,10 @@ def sell_from_ell(A, max_passes=None, max_elems=2_500_000,
         # Sy = t*Sx must be a multiple of TILE_SUBLANES
         g = np.gcd(t, TILE_SUBLANES)
         Sx = _roundup(Sx, TILE_SUBLANES // g)
+        if t == 1 and Sx >= 512:
+            # large squares run the tiled windowed-DMA kernel, whose row
+            # tiles want to divide Sy evenly at a useful size
+            Sx = _roundup(Sx, 512)
         Sy = t * Sx
         anchor = (ii // LANE) // t
     else:
@@ -236,12 +249,14 @@ def sell_from_ell(A, max_passes=None, max_elems=2_500_000,
     max_b = int(pass_base.max())
     if kind == "tall":
         pad_top = _roundup(max(0, -t * min_b), TILE_SUBLANES)
+        # + TILE_SUBLANES slack: the tiled (windowed-DMA) kernel's
+        # scratch window is rounded up to sublane granularity
         x_rows = _roundup(pad_top + t * max(0, max_b + K - 1) + Sy,
-                          TILE_SUBLANES)
+                          TILE_SUBLANES) + TILE_SUBLANES
     else:
         pad_top = _roundup(max(0, -min_b), TILE_SUBLANES)
         x_rows = _roundup(pad_top + max(0, max_b + K - 1) + Sx,
-                          TILE_SUBLANES)
+                          TILE_SUBLANES) + TILE_SUBLANES
 
     if kind == "tall" and t == 1:
         dg = np.zeros((n,), np.float32)
@@ -252,12 +267,13 @@ def sell_from_ell(A, max_passes=None, max_elems=2_500_000,
 
     return SELL(vals=vals_t.reshape(T, Sy, LANE),
                 delta=delta_t.reshape(T, Sy, LANE),
-                bases=pass_base,
+                bases=tuple(int(b) for b in pass_base),
                 diag=dg,
                 shape=(int(n), int(m)),
                 t=int(t), kind=kind, K=int(K),
                 pad_top=int(pad_top), x_rows=int(x_rows),
-                _nnz=int(len(ii)))
+                _nnz=int(len(ii)),
+                base_lo=int(min_b), base_hi=int(max_b))
 
 
 def sell_to_scipy(A: SELL):

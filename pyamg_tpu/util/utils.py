@@ -175,6 +175,12 @@ def filter_matrix_rows(A: ELL, theta, diagonal=False, lump=False):
     else:
         mx = jnp.max(absv, axis=1, keepdims=True)
         keep = valid & (absv >= theta * mx)
+        if lump:
+            # the lumped correction lands on the diagonal slot, so it
+            # must survive the filter even when |A_ii| < theta*rowmax —
+            # otherwise ell_dedup discards the lumped mass and the
+            # row-sum-preservation promise silently breaks
+            keep = keep | (valid & isdiag)
     dropped = jnp.where(valid & ~keep, A.vals, 0).sum(axis=1)
     vals = jnp.where(keep, A.vals, 0)
     if lump:
