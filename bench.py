@@ -110,22 +110,32 @@ def main():
     t_spgemm_dev = (time.perf_counter() - t0) / KG
     spgemm_dev_mult_s = (n * A_ell.width * P_ell.width) / t_spgemm_dev
 
-    # --- SpMV throughput: banded (DIA) f32 fine operator, loop in one jit
-    # (K large: per-iteration loop overhead on v5e is ~0.2-0.4 us but the
-    # axon dispatch floor only amortizes past ~1000 iterations)
+    # --- SpMV throughput: banded (DIA) f32 fine operator.  Two-point
+    # measurement (t(K2)-t(K1))/(K2-K1) with a forced value fetch: the
+    # axon runtime's block_until_ready returns early on some programs,
+    # and each dispatch+fetch carries a ~30 ms fixed tunnel cost that
+    # must not be attributed to the kernel.
     A_dev = ml.levels[0].A
-    K = 1000
 
-    @jax.jit
-    def spmv_loop(A, x):
-        def body(i, y):
-            return _mv(A, y) / jnp.float32(1.0001)
-        return jax.lax.fori_loop(0, K, body, x)
+    def timed_loop(mk_loop, K):
+        f = jax.jit(mk_loop(K))
+        float(f(A_dev, b32))              # warm (compile)
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(f(A_dev, b32))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
 
-    jax.block_until_ready(spmv_loop(A_dev, b32))
-    t0 = time.perf_counter()
-    jax.block_until_ready(spmv_loop(A_dev, b32))
-    t_spmv = (time.perf_counter() - t0) / K
+    def mk_spmv(K):
+        def run(A, x):
+            y = jax.lax.fori_loop(
+                0, K, lambda i, y: _mv(A, y) / jnp.float32(1.0001), x)
+            return jnp.sum(y)
+        return run
+
+    K1, K2 = 200, 2000
+    t_spmv = (timed_loop(mk_spmv, K2) - timed_loop(mk_spmv, K1)) / (K2 - K1)
     spmv_nnz_s = nnz / t_spmv
 
     # bytes-moved model for the banded fine SpMV: stored diagonals once,
@@ -145,22 +155,26 @@ def main():
     spmv_gb_s = spmv_bytes / t_spmv / 1e9
     spmv_pct_hbm = 100.0 * spmv_bytes / t_spmv / HBM_PEAK
 
-    # --- V-cycle time (kernel time: chained applications in one jit; a
-    # per-call eager dispatch costs ~1.5-3 ms over the axon tunnel and
-    # would triple the number)
+    # --- V-cycle time (two-point measurement, forced fetch: see above)
     cyc = ml._get_cycle("V")
     dyn = ml._dyn()
-    KC = 100
 
-    @jax.jit
-    def vloop(dyn, x, b):
-        return jax.lax.fori_loop(0, KC, lambda i, v: cyc(dyn, v, b), x)
+    def vcycle_time(K):
+        @jax.jit
+        def vloop(dyn, x, b):
+            y = jax.lax.fori_loop(0, K, lambda i, v: cyc(dyn, v, b), x)
+            return jnp.sum(y)
 
-    z = jnp.zeros_like(b32)
-    jax.block_until_ready(vloop(dyn, z, b32))
-    t0 = time.perf_counter()
-    jax.block_until_ready(vloop(dyn, z, b32))
-    t_cycle = (time.perf_counter() - t0) / KC
+        z = jnp.zeros_like(b32)
+        float(vloop(dyn, z, b32))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(vloop(dyn, z, b32))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t_cycle = (vcycle_time(300) - vcycle_time(50)) / 250
 
     # V(1,1) bytes model: per level, 3 A-passes (pre-smooth, residual,
     # post-smooth) + one P and one R pass + ~8 vector passes
@@ -204,16 +218,23 @@ def main():
                 lambda v: jax.device_put(v, dev) if hasattr(v, "shape")
                 else v, S)
 
-            @jax.jit
-            def sell_loop(S, x):
-                def body(i, y):
-                    return S.mv(y) / jnp.float32(1.0001)
-                return jax.lax.fori_loop(0, K, body, x)
+            def sell_time(K):
+                @jax.jit
+                def sell_loop(S, x):
+                    y = jax.lax.fori_loop(
+                        0, K, lambda i, y: S.mv(y) / jnp.float32(1.0001),
+                        x)
+                    return jnp.sum(y)
 
-            jax.block_until_ready(sell_loop(S, b32))
-            t0 = time.perf_counter()
-            jax.block_until_ready(sell_loop(S, b32))
-            t_sell = (time.perf_counter() - t0) / K
+                float(sell_loop(S, b32))
+                ts = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    float(sell_loop(S, b32))
+                    ts.append(time.perf_counter() - t0)
+                return min(ts)
+
+            t_sell = (sell_time(2000) - sell_time(200)) / 1800
             sell_nnz_s = nnz / t_sell
     except Exception:
         pass

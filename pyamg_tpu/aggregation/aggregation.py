@@ -63,7 +63,22 @@ def smoothed_aggregation_solver(A, B=None, BH=None, symmetry="hermitian",
                                 diagonal_dominance=False, keep=False,
                                 coarse_solver="pinv", seed=0, **kwargs):
     """Smoothed-aggregation AMG hierarchy (reference
-    ``aggregation.py:26``); accepts ELL/BELL or scipy input."""
+    ``aggregation.py:26``); accepts ELL/BELL or scipy input.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from pyamg_tpu.gallery import poisson
+    >>> from pyamg_tpu.aggregation import smoothed_aggregation_solver
+    >>> ml = smoothed_aggregation_solver(poisson((30, 30)), max_coarse=10)
+    >>> len(ml.levels) >= 2
+    True
+    >>> res = []
+    >>> b = np.ones(900)
+    >>> x = ml.solve(b, tol=1e-8, maxiter=50, accel="cg", residuals=res)
+    >>> bool(res[-1] < 1e-8 * np.linalg.norm(b) + 1e-12)
+    True
+    """
     A = asarray_or_ell(A)
     if symmetry not in ("symmetric", "hermitian", "nonsymmetric"):
         raise ValueError("expected symmetric, nonsymmetric or hermitian")

@@ -17,6 +17,16 @@ def poisson(grid, dtype=float, format=None, type="FD"):
     FD: 2nd-order central differences (2N on diagonal, -1 to axis
     neighbors).  FE: Q1 finite elements (full (3,)*N stencil of -1 with
     3^N - 1 center).
+
+    Examples
+    --------
+    >>> from pyamg_tpu.gallery import poisson
+    >>> from pyamg_tpu.sparse.matrix import to_scipy
+    >>> A = poisson((4, 4))
+    >>> A.shape
+    (16, 16)
+    >>> int(to_scipy(A)[0, 0]), int(to_scipy(A)[0, 1])
+    (4, -1)
     """
     grid = tuple(grid)
     N = len(grid)

@@ -116,7 +116,23 @@ def cg_loop(mv, Mv, x, b, tol, criteria, maxiter, fro=1.0,
 
 def cg(A, b, x0=None, tol=1e-5, criteria="rr", maxiter=None, M=None,
        callback=None, residuals=None):
-    """Preconditioned conjugate gradient (reference ``krylov/_cg.py:11``)."""
+    """Preconditioned conjugate gradient (reference ``krylov/_cg.py:11``).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from pyamg_tpu.gallery import poisson
+    >>> from pyamg_tpu.krylov import cg
+    >>> A = poisson((10, 10))
+    >>> b = np.ones(A.shape[0])
+    >>> x, info = cg(A, b, tol=1e-8, maxiter=100)
+    >>> info
+    0
+    >>> from pyamg_tpu.sparse.matrix import to_scipy
+    >>> bool(np.linalg.norm(b - to_scipy(A) @ np.asarray(x))
+    ...      < 1e-6 * np.linalg.norm(b))
+    True
+    """
     mv, n, dtype, fro, b, x, maxiter = prepare(A, b, x0, maxiter)
     Mv = as_precond(M)
 

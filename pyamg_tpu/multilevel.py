@@ -384,6 +384,55 @@ class MultilevelSolver:
             self._cycle_cache[key] = self._make_cycle(cycle, cycles_per_level)
         return self._cycle_cache[key]
 
+    def trace_cycle(self, path, cycle="V", iterations=10):
+        """Record ``iterations`` V-cycle applications under
+        ``jax.profiler.trace`` into ``path`` (view with TensorBoard /
+        xprof).  The TPU-native analogue of the reference's (absent)
+        tracing story — per-op device timelines for the solve phase."""
+        cyc = self._get_cycle(cycle)
+        dyn = self._dyn()
+        n = self.levels[0].A.shape[0]
+        b = jnp.ones((n,), self.levels[0].A.dtype)
+
+        @jax.jit
+        def run(dyn, b):
+            x = lax.fori_loop(0, iterations,
+                              lambda i, v: cyc(dyn, v, b),
+                              jnp.zeros_like(b))
+            return jnp.sum(x)
+
+        float(run(dyn, b))                    # compile outside the trace
+        with jax.profiler.trace(str(path)):
+            float(run(dyn, b))
+        return path
+
+    def profile_cycle(self, cycle="V", k1=10, k2=60):
+        """Wall-time one cycle application via a two-point jitted-loop
+        measurement ((t(k2)-t(k1))/(k2-k1), value-forced), which excludes
+        the fixed dispatch+fetch overhead.  Returns seconds."""
+        import time as _time
+        cyc = self._get_cycle(cycle)
+        dyn = self._dyn()
+        n = self.levels[0].A.shape[0]
+        b = jnp.ones((n,), self.levels[0].A.dtype)
+
+        def timed(K):
+            @jax.jit
+            def run(dyn, b):
+                x = lax.fori_loop(0, K, lambda i, v: cyc(dyn, v, b),
+                                  jnp.zeros_like(b))
+                return jnp.sum(x)
+
+            float(run(dyn, b))
+            ts = []
+            for _ in range(3):
+                t0 = _time.perf_counter()
+                float(run(dyn, b))
+                ts.append(_time.perf_counter() - t0)
+            return min(ts)
+
+        return (timed(k2) - timed(k1)) / (k2 - k1)
+
     # -- public API ----------------------------------------------------------
     def aspreconditioner(self, cycle="V"):
         """One cycle from zero guess as a linear operator

@@ -114,6 +114,28 @@ def _spmv_shard(vals, cols_g, valid, x_ext, base):
     return jnp.sum(jnp.where(valid, vals, 0) * g, axis=1)
 
 
+def _spmv_shard_overlap(vals, cols_g, valid, x, x_ext, row0, g_margin):
+    """Distributed SpMV split into an interior term (reads only the local
+    shard of x) plus a ghost term (reads the ring-exchanged margins).
+
+    The split is the comm/compute-overlap enabler: the interior product
+    has NO data dependency on the ``ppermute`` that builds ``x_ext``, so
+    XLA's latency-hiding scheduler is free to run the collective
+    concurrently with the bulk of the local matvec instead of stalling
+    every row on the exchange (the classic hypre-style overlap,
+    expressed as dataflow rather than explicit comm phases).
+    """
+    n = x.shape[0]
+    loc = cols_g - row0
+    is_local = valid & (loc >= 0) & (loc < n)
+    gl = x[jnp.clip(loc, 0, n - 1)]
+    y_int = jnp.sum(jnp.where(is_local, vals * gl, 0), axis=1)
+    ghost = valid & ~is_local
+    ge, _ = _gather_ext(x_ext, cols_g, row0 - g_margin, ghost)
+    y_gh = jnp.sum(jnp.where(ghost, vals * ge, 0), axis=1)
+    return y_int + y_gh
+
+
 def _spgemm_shard(a_cols, a_vals, a_ok, b_cols_ext, b_vals_ext, b_ok_ext,
                   base, n_cols_out, out_width, chunk=8):
     """Per-shard C = A @ B_ext with global output columns, chunked over A
@@ -273,8 +295,8 @@ class DistHierarchy:
             g = meta["g"]
             for _ in range(sweeps):
                 x_ext = _ext_rows(x, g, mesh_n)
-                base = meta["base"] - g
-                r = b - _spmv_shard(vals, cols, ok, x_ext, base)
+                r = b - _spmv_shard_overlap(vals, cols, ok, x, x_ext,
+                                            meta["base"], g)
                 x = x + meta["omega"] * Dinv * r
             return x
 
@@ -290,8 +312,8 @@ class DistHierarchy:
             x = smooth(L, meta, x, b, nu)
             g = meta["g"]
             x_ext = _ext_rows(x, g, mesh_n)
-            r = b - _spmv_shard(L["vals"], L["cols"], L["ok"], x_ext,
-                                meta["base"] - g)
+            r = b - _spmv_shard_overlap(L["vals"], L["cols"], L["ok"], x,
+                                        x_ext, meta["base"], g)
             # restrict: R cols are extended-fine indices of r_ext
             r_ext = _ext_rows(r, g, mesh_n)
             bc = jnp.sum(jnp.where(L["r_ok"], L["r_vals"], 0) *
@@ -346,8 +368,9 @@ class DistHierarchy:
             def Amv(x):
                 L, meta = levs[0]
                 x_ext = _ext_rows(x, meta["g"], ndev)
-                return _spmv_shard(L["vals"], L["cols"], L["ok"], x_ext,
-                                   meta["base"] - meta["g"])
+                return _spmv_shard_overlap(L["vals"], L["cols"], L["ok"],
+                                           x, x_ext, meta["base"],
+                                           meta["g"])
 
             def Mmv(r):
                 return self._vcycle_shard(levs, jnp.zeros_like(r), r, nu=nu)

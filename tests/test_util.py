@@ -228,3 +228,18 @@ class TestHierarchySerialization:
         ml.solve(jnp.asarray(b), maxiter=8, tol=1e-12, residuals=r1)
         ml2.solve(jnp.asarray(b), maxiter=8, tol=1e-12, residuals=r2)
         np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+
+
+def test_profile_and_trace_cycle(tmp_path):
+    """Profiling hooks: profile_cycle returns a sane wall time and
+    trace_cycle emits a jax.profiler trace directory."""
+    import jax.numpy as jnp
+    from pyamg_tpu.gallery import poisson
+    from pyamg_tpu.aggregation import smoothed_aggregation_solver
+    ml = smoothed_aggregation_solver(poisson((24, 24)).astype(jnp.float32),
+                                     max_coarse=16)
+    t = ml.profile_cycle(k1=2, k2=6)
+    assert 0 < t < 5.0
+    out = ml.trace_cycle(tmp_path / "trace", iterations=2)
+    import os
+    assert any(os.scandir(out))
