@@ -37,7 +37,20 @@ def rootnode_solver(A, B=None, BH=None, symmetry="hermitian",
                     max_levels=10, max_coarse=10,
                     diagonal_dominance=False, keep=False,
                     coarse_solver="pinv", seed=0, **kwargs):
-    """Root-node SA hierarchy (reference ``rootnode.py:25``)."""
+    """Root-node SA hierarchy (reference ``rootnode.py:25``).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from pyamg_tpu.gallery import poisson
+    >>> from pyamg_tpu.aggregation import rootnode_solver
+    >>> ml = rootnode_solver(poisson((30, 30)), max_coarse=10)
+    >>> res = []
+    >>> x = ml.solve(np.ones(900), tol=1e-8, maxiter=50, accel="cg",
+    ...              residuals=res)
+    >>> bool(res[-1] / res[0] < 1e-7)
+    True
+    """
     A = asarray_or_ell(A)
     if symmetry not in ("symmetric", "hermitian", "nonsymmetric"):
         raise ValueError("expected symmetric, nonsymmetric or hermitian")

@@ -98,7 +98,21 @@ def solver(A, config):
 def solve(A, b, x0=None, tol=1e-5, maxiter=400, return_solver=False,
           existing_solver=None, verb=True, residuals=None):
     """Solve Ax=b with the best out-of-the-box choice (reference
-    ``blackbox.py:208``)."""
+    ``blackbox.py:208``).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> import pyamg_tpu
+    >>> from pyamg_tpu.gallery import poisson
+    >>> from pyamg_tpu.sparse.matrix import to_scipy
+    >>> A = poisson((20, 20))
+    >>> b = np.ones(400)
+    >>> x = pyamg_tpu.solve(A, b, verb=False, tol=1e-8)
+    >>> bool(np.linalg.norm(b - to_scipy(A) @ np.asarray(x))
+    ...      < 1e-5 * np.linalg.norm(b))
+    True
+    """
     A = make_operator(A)
     b = jnp.asarray(b).reshape(-1)
     if x0 is None:

@@ -11,6 +11,8 @@ MODULES = [
     "pyamg_tpu.krylov.methods",
     "pyamg_tpu.aggregation.aggregation",
     "pyamg_tpu.classical.classical",
+    "pyamg_tpu.aggregation.rootnode",
+    "pyamg_tpu.blackbox",
 ]
 
 
