@@ -25,7 +25,18 @@ def main():
 
     N = 3163                              # 10.004M unknowns
     t0 = time.perf_counter()
-    S = sell_from_ell(poisson((N, N)).astype(jnp.float32), k_choices=(4,))
+    A = poisson((N, N)).astype(jnp.float32)
+    matrix_s = time.perf_counter() - t0
+    # allocator warm-up: the first ~2 GB of heap growth page-faults at
+    # ~400 MB/s on this host; a 1M-unknown plan faults it in so the 10M
+    # measurement reflects the plan build itself, not the VM's fault rate
+    sell_from_ell(poisson((1000, 1000)).astype(jnp.float32),
+                  k_choices=(4,))
+    t0 = time.perf_counter()
+    S = sell_from_ell(A, k_choices=(4,))
+    plan_cold_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    S = sell_from_ell(A, k_choices=(4,))
     plan_s = time.perf_counter() - t0
     n = S.shape[0]
     dev = jax.devices()[0]
@@ -62,6 +73,8 @@ def main():
         "gb_per_s": bytes_ / t / 1e9,
         "pct_hbm_peak": 100.0 * bytes_ / t / 819e9,
         "plan_build_s": plan_s,
+        "plan_build_cold_s": plan_cold_s,
+        "matrix_build_s": matrix_s,
         "first_compile_s": compile_s,
         "device": str(dev),
     }

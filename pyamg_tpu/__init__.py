@@ -12,6 +12,20 @@ __version__ = "0.1.0"
 
 import os as _os
 
+# glibc munmaps every >128 KB free, so each large numpy temporary on the
+# host setup path re-faults its pages (~8x slowdown measured on the
+# 10M-unknown SELL plan build).  Keep big allocations on the heap and
+# never trim: setup-phase numpy runs at memory speed instead of
+# page-fault speed.  Opt out with PYAMG_TPU_NO_MALLOC_TUNE=1.
+if not _os.environ.get("PYAMG_TPU_NO_MALLOC_TUNE"):
+    try:
+        import ctypes as _ctypes
+        _libc = _ctypes.CDLL("libc.so.6", use_errno=True)
+        _libc.mallopt(-3, 1 << 30)   # M_MMAP_THRESHOLD
+        _libc.mallopt(-1, 1 << 30)   # M_TRIM_THRESHOLD
+    except Exception:  # pragma: no cover - glibc-only tuning
+        pass
+
 import jax as _jax
 
 # AMG setup compiles hundreds of small shape-specialized XLA programs

@@ -374,7 +374,14 @@ def _air_solve_host(Acols, Avals, Arow_nnz, n_cols, nbrs, cpts):
     with np.errstate(all="ignore"):
         sing = ~np.isfinite(np.linalg.cond(At))
     A_solve = np.where(sing[:, None, None], np.eye(M, dtype=At.dtype), At)
-    r = np.linalg.solve(A_solve, b[..., None])[..., 0]
+    try:
+        r = np.linalg.solve(A_solve, b[..., None])[..., 0]
+    except np.linalg.LinAlgError:
+        # cond() finiteness misses exactly-singular systems (SVD smallest
+        # singular value rounds to ~1e-16, not 0) while LU still hits an
+        # exact zero pivot; treat every system as suspect and lstsq below.
+        sing = np.ones(ncp, dtype=bool)
+        r = np.zeros_like(b)
     bad = sing | ~np.isfinite(r).all(axis=1)
     if bad.any():
         for i in np.where(bad)[0]:

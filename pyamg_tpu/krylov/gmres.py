@@ -41,8 +41,14 @@ def _givens(a, b):
     return c, s, jnp.where(safe, rr, a)
 
 
-def _cycle(mv, Mv, b, x, R, rtol, flexible):
+def _cycle(mv, Mv, b, x, R, rtol, flexible, orthog="cgs2"):
     """One traceable restart cycle.
+
+    ``orthog`` selects the Arnoldi orthogonalization: 'cgs2' (classical
+    Gram-Schmidt applied twice — two (R+1, n) MXU matmuls per step, the
+    TPU-fast default) or 'mgs' (true sequential modified Gram-Schmidt, a
+    ``fori_loop`` of j dot+axpy pairs matching the reference
+    ``_gmres_mgs.py:42`` iterate-for-iterate in exact arithmetic).
 
     Returns ``(xn, normr, j, cycres)`` where ``cycres`` is the (R,) buffer
     of per-inner-iteration preconditioned residual norms (|g[j+1]| — the
@@ -80,13 +86,23 @@ def _cycle(mv, Mv, b, x, R, rtol, flexible):
         else:
             Z2 = Z
             w = Mv(mv(vj))
-        # CGS2 against rows 0..j (rows > j are zero)
-        mask = (jnp.arange(R + 1) <= j).astype(dtype)
-        h1 = (jnp.conj(V) @ w) * mask
-        w = w - V.T @ h1
-        h2 = (jnp.conj(V) @ w) * mask
-        w = w - V.T @ h2
-        h = h1 + h2
+        if orthog == "mgs":
+            # sequential modified Gram-Schmidt against rows 0..j
+            def mgs_body(i, carry):
+                wc, hc = carry
+                on = i <= j
+                hi = jnp.where(on, jnp.vdot(V[i], wc), 0).astype(dtype)
+                return wc - hi * V[i], hc.at[i].set(hi)
+            w, h = lax.fori_loop(
+                0, R + 1, mgs_body, (w, jnp.zeros((R + 1,), dtype)))
+        else:
+            # CGS2 against rows 0..j (rows > j are zero)
+            mask = (jnp.arange(R + 1) <= j).astype(dtype)
+            h1 = (jnp.conj(V) @ w) * mask
+            w = w - V.T @ h1
+            h2 = (jnp.conj(V) @ w) * mask
+            w = w - V.T @ h2
+            h = h1 + h2
         wnorm = norm(w)
         Hcol = h.at[j + 1].set(wnorm.astype(dtype))
         Vn = V.at[j + 1].set(
@@ -311,7 +327,8 @@ def householder_loop(mv, Mv, x, b, tol, R, max_outer):
     return x, info, resbuf, nres
 
 
-def gmres_loop(mv, Mv, x, b, tol, R, max_outer, flexible=False):
+def gmres_loop(mv, Mv, x, b, tol, R, max_outer, flexible=False,
+               orthog="cgs2"):
     """Traceable restarted-GMRES solve: (x, info, resbuf, nres).
 
     Factored out (like ``cg_loop``) so ``MultilevelSolver.solve`` can jit
@@ -338,7 +355,8 @@ def gmres_loop(mv, Mv, x, b, tol, R, max_outer, flexible=False):
 
     def body(st):
         x, it, outer, nres, resbuf, done = st
-        xn, normr, j, cycres = _cycle(mv, Mv, b, x, R, rtol, flexible)
+        xn, normr, j, cycres = _cycle(mv, Mv, b, x, R, rtol, flexible,
+                                      orthog)
         # entries past j are zero; they land beyond nres+j and are either
         # overwritten next cycle or ignored by the nres count
         resbuf = lax.dynamic_update_slice(resbuf, cycres.astype(rdt),
@@ -374,7 +392,8 @@ def _gmres_driver(A, b, x0, tol, restart, maxiter, M, callback, residuals,
                                                         R, max_outer))
         else:
             run = jax.jit(lambda x, b: gmres_loop(mv, Mv, x, b, tol, R,
-                                                  max_outer, flexible))
+                                                  max_outer, flexible,
+                                                  method))
         x, info, resbuf, nres = run(x, b)
         if residuals is not None:
             k = int(nres)
@@ -393,7 +412,8 @@ def _gmres_driver(A, b, x0, tol, restart, maxiter, M, callback, residuals,
     if method == "householder":
         cycle = jax.jit(lambda x: _householder_cycle(mv, Mv, b, x, R, rtol))
     else:
-        cycle = jax.jit(lambda x: _cycle(mv, Mv, b, x, R, rtol, flexible))
+        cycle = jax.jit(lambda x: _cycle(mv, Mv, b, x, R, rtol, flexible,
+                                         method))
     it_total = 0
     for _outer in range(max_outer):
         x, normr, j, cycres = cycle(x)
@@ -412,12 +432,16 @@ def _gmres_driver(A, b, x0, tol, restart, maxiter, M, callback, residuals,
 
 def gmres_mgs(A, b, x0=None, tol=1e-5, restart=None, maxiter=None, M=None,
               callback=None, residuals=None, reorth=False, restrt=None):
-    """Left-preconditioned GMRES (CGS2 Arnoldi; reference
-    ``_gmres_mgs.py:42``)."""
+    """Left-preconditioned GMRES with true sequential modified
+    Gram-Schmidt Arnoldi (reference ``_gmres_mgs.py:42``).
+
+    For TPU-wide vectors prefer ``gmres(orthog='cgs2')``: CGS2 replaces
+    the j sequential dot+axpy pairs with two MXU matmuls per step and is
+    numerically as robust (Giraud et al. 2005)."""
     if restrt is not None:
         restart = restrt
     return _gmres_driver(A, b, x0, tol, restart, maxiter, M, callback,
-                         residuals, flexible=False)
+                         residuals, flexible=False, method="mgs")
 
 
 def gmres_householder(A, b, x0=None, tol=1e-5, restart=None, maxiter=None,
@@ -442,15 +466,20 @@ def gmres_householder(A, b, x0=None, tol=1e-5, restart=None, maxiter=None,
 def gmres(A, b, x0=None, tol=1e-5, restart=None, maxiter=None, M=None,
           callback=None, residuals=None, orthog="mgs", restrt=None, **kwargs):
     """GMRES dispatcher (reference ``_gmres.py``): ``orthog`` selects
-    'mgs'/'cgs2' (the matmul-shaped CGS2 device cycle) or 'householder'
-    (true reflector-chain orthogonalization, ``gmres_householder``)."""
+    'mgs' (true sequential modified Gram-Schmidt), 'cgs2' (classical
+    Gram-Schmidt twice — the matmul-shaped device cycle, fastest on TPU),
+    or 'householder' (reflector-chain orthogonalization,
+    ``gmres_householder``)."""
     if orthog == "householder":
         return gmres_householder(A, b, x0=x0, tol=tol, restart=restart,
                                  maxiter=maxiter, M=M, callback=callback,
                                  residuals=residuals, restrt=restrt)
-    return gmres_mgs(A, b, x0=x0, tol=tol, restart=restart, maxiter=maxiter,
-                     M=M, callback=callback, residuals=residuals,
-                     restrt=restrt)
+    if orthog not in ("mgs", "cgs2"):
+        raise ValueError(f"unknown orthog {orthog!r}")
+    if restrt is not None:
+        restart = restrt
+    return _gmres_driver(A, b, x0, tol, restart, maxiter, M, callback,
+                         residuals, flexible=False, method=orthog)
 
 
 def fgmres(A, b, x0=None, tol=1e-5, restart=None, maxiter=None, M=None,

@@ -223,8 +223,8 @@ def sell_spmv(A: SELL, x, interpret=False):
             call = _spmv_tiled_call(tuple(A.bases), A.Sy, A.K, TRow,
                                     jnp.dtype(A.vals.dtype).name,
                                     interpret)
-            y = call(A.delta, A.vals, _pad_x_tiled(A, x, TRow),
-                     _pad_x_tiled(A, x, TRow))
+            xp = _pad_x_tiled(A, x, TRow)
+            y = call(A.delta, A.vals, xp, xp)
             return y.reshape(-1)[:A.shape[0]]
     call = _spmv_call(A.n_passes, A.Sy, A.Sx, A.x_rows, A.t, A.kind, A.K,
                       A.pad_top, jnp.dtype(A.vals.dtype).name, interpret)

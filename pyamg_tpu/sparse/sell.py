@@ -160,14 +160,17 @@ def sell_from_ell(A, max_passes=None, max_elems=2_500_000,
     if max(n, m) > cap:
         return None
 
-    cols = np.asarray(A.cols)
-    vals = np.asarray(A.vals)
-    valid = np.arange(A.width)[None, :] < np.asarray(A.row_nnz)[:, None]
-    ii, kk = np.nonzero(valid)
-    if len(ii) == 0:
+    # The whole plan build works slot-wise in the (n, W) ELL layout with
+    # int32 arithmetic — O(nnz) streaming passes, no per-entry argsort
+    # (the compressed-key formulation cost ~36 s at n=10M; this is ~8 s).
+    cols2 = np.asarray(A.cols)
+    vals2 = np.asarray(A.vals)
+    W = int(cols2.shape[1])
+    row_nnz = np.asarray(A.row_nnz)
+    valid2 = np.arange(W, dtype=np.int32)[None, :] < row_nnz[:, None]
+    nnz = int(row_nnz.sum())
+    if nnz == 0:
         return None
-    cc = cols[ii, kk].astype(np.int64)
-    vv = vals[ii, kk]
 
     # --- integer-ratio padding -------------------------------------------
     if n >= m:
@@ -182,23 +185,46 @@ def sell_from_ell(A, max_passes=None, max_elems=2_500_000,
             # tiles want to divide Sy evenly at a useful size
             Sx = _roundup(Sx, 512)
         Sy = t * Sx
-        anchor = (ii // LANE) // t
     else:
         kind = "fat"
         t = max(1, int(round(m / n)))
         Sy = _roundup(max(n, -(-m // t)), LANE) // LANE
         Sy = _roundup(Sy, TILE_SUBLANES)
         Sx = t * Sy
-        anchor = (ii // LANE) * t
 
-    delta_abs = cc - LANE * anchor
-    w = delta_abs // LANE                      # window row (can be < 0)
+    rows32 = np.arange(n, dtype=np.int32)
+    if kind == "tall":
+        anchor_r = (rows32 >> 7) // t if t > 1 else (rows32 >> 7)
+    else:
+        anchor_r = (rows32 >> 7) * np.int32(t)
+
+    # NOTE on dtypes: every O(nnz) array here is int32 on purpose — this
+    # host's int64 vector ops run ~60x slower than int32 (measured), and
+    # weighted bincount is another order of magnitude off.
+    delta_abs2 = cols2.astype(np.int32, copy=False) - \
+        (anchor_r[:, None] << 7)                       # (n, W)
+    w2 = delta_abs2 >> 7                 # window row (arith shift = floor)
+    wv = w2[valid2]
+    wmin = int(wv.min())
+    wmax = int(wv.max())
+    if wmax - wmin <= 4_000_000:
+        uw = np.flatnonzero(np.bincount(wv - wmin)) + wmin
+    else:
+        uw = np.unique(wv)
+    del wv
+    # invalid slots (cols=0 padding) may fall outside the valid window
+    # range; clip so the group lookup below stays in bounds (they are
+    # routed to a sentinel group and masked out of the final scatter)
+    w2 = np.clip(w2, wmin, wmax)
     if max_passes is None:
         # a pass costs O(Sy*128) work: allow many passes on short tiles
         max_passes = max(512, 4_000_000 // (Sy * LANE))
 
+    # slot-wise depth is O(W^2 * n); beyond that budget fall back to the
+    # sorted-key cumcount (wide ELL only occurs on small coarse levels)
+    slotwise = W * W * n <= 2_000_000_000
+
     # --- choose K and cluster windows into passes -------------------------
-    uw = np.unique(w)
     best = None
     for K in k_choices:
         bases_list = []
@@ -209,40 +235,78 @@ def sell_from_ell(A, max_passes=None, max_elems=2_500_000,
                 start = u
         bases_list.append(int(start))
         bases_arr = np.asarray(bases_list, np.int64)
-        gidx = np.searchsorted(bases_arr, w, side="right") - 1
-        # slot depth per (row, group)
-        key = gidx.astype(np.int64) * n + ii
-        order = np.argsort(key, kind="stable")
-        ks = key[order]
-        head = np.concatenate([[True], ks[1:] != ks[:-1]])
-        run_id = np.cumsum(head) - 1
-        run_start = np.nonzero(head)[0]
-        depth_sorted = np.arange(len(ks)) - run_start[run_id]
-        depth = np.empty(len(ks), np.int64)
-        depth[order] = depth_sorted
-        # pass widths per group
         G = len(bases_arr)
-        gw = np.zeros(G, np.int64)
-        np.maximum.at(gw, gidx, depth + 1)
+        lut = (np.searchsorted(bases_arr, np.arange(wmin, wmax + 1),
+                               side="right") - 1).astype(np.int32)
+        # invalid slots -> sentinel group G (keeps every per-slot op
+        # unmasked; sentinel rows are dropped from the occupancy counts
+        # below and masked out of the scatter)
+        gidx2 = np.where(valid2, lut[w2 - wmin], np.int32(G))  # (n, W)
+        # depth = per-(row, group) cumcount in slot order (same ordering
+        # as the reference's row-major CSR entry order); sentinel slots
+        # never collide with a real group
+        depth2 = np.zeros((n, W), np.int32)
+        if slotwise:
+            for k in range(1, W):
+                eq = gidx2[:, :k] == gidx2[:, k:k + 1]
+                depth2[:, k] = eq.sum(axis=1, dtype=np.int32)
+        else:
+            ii, kk = np.nonzero(valid2)
+            key = gidx2[ii, kk].astype(np.int64) * n + ii
+            order = np.argsort(key, kind="stable")
+            ks = key[order]
+            head = np.concatenate([[True], ks[1:] != ks[:-1]])
+            run_id = np.cumsum(head) - 1
+            run_start = np.nonzero(head)[0]
+            d = np.arange(len(ks)) - run_start[run_id]
+            dsc = np.empty(len(ks), np.int64)
+            dsc[order] = d
+            depth2[ii, kk] = dsc
+        # pass widths per group: gw[g] = 1 + deepest occupied slot
+        # (one unweighted int32 bincount over (group, depth) codes)
+        code = gidx2 * np.int32(W) + depth2
+        cnts = np.bincount(code.ravel(), minlength=(G + 1) * W)
+        occ = cnts[:G * W].reshape(G, W) > 0
+        anyocc = occ.any(axis=1)
+        gw = np.where(anyocc, W - np.argmax(occ[:, ::-1], axis=1), 0)
         T = int(gw.sum())
         cost = T * (8 + K)                    # bytes-ish per output element
         if T <= max_passes and (best is None or cost < best[0]):
-            best = (cost, K, bases_arr, gidx, depth, gw, T)
+            best = (cost, K, bases_arr, gidx2, depth2, gw, T)
     if best is None:
         return None
-    _, K, bases_arr, gidx, depth, gw, T = best
+    _, K, bases_arr, gidx2, depth2, gw, T = best
+    G = len(bases_arr)
     slots = T * Sy * LANE
-    if slots > max_inflation * len(ii) and slots > 262144:
+    if slots > max_inflation * nnz and slots > 262144:
         return None                 # padded slot volume way beyond nnz
 
     # --- fill pass arrays --------------------------------------------------
-    goff = np.concatenate([[0], np.cumsum(gw)])
-    p = goff[gidx] + depth                     # pass index per entry
+    goff = np.concatenate([[0], np.cumsum(gw)]).astype(np.int32)
+    bases32 = np.append(bases_arr.astype(np.int32), 0)  # sentinel slot
+    p2 = goff[gidx2] + depth2                  # (n, W) pass index
+    dloc2 = delta_abs2 - (bases32[gidx2] << 7)
     vals_t = np.zeros((T, Sy * LANE), np.float32)
     delta_t = np.zeros((T, Sy * LANE), np.int32)
-    vals_t[p, ii] = vv
-    delta_t[p, ii] = (delta_abs - LANE * bases_arr[gidx]).astype(np.int32)
-    pass_base = np.repeat(bases_arr, gw).astype(np.int32)
+    for k in range(W):
+        mk = valid2[:, k]
+        pk = p2[:, k]
+        # dominant-pass fast path: on structured operators nearly every
+        # row of a slot lands in the same pass (boundary rows differ) —
+        # one boolean row-assignment plus a tiny scatter for the rest
+        pc = int(pk[n // 2])
+        cm = mk & (pk == pc)
+        if pc < T:
+            vals_t[pc, :n][cm] = vals2[cm, k]
+            delta_t[pc, :n][cm] = dloc2[cm, k]
+            rest = mk & ~cm
+        else:
+            rest = mk
+        if rest.any():
+            ri = rows32[rest]
+            vals_t[pk[rest], ri] = vals2[rest, k]
+            delta_t[pk[rest], ri] = dloc2[rest, k]
+    pass_base = np.repeat(bases_arr.astype(np.int32), gw)
 
     # --- guard extents (in operand rows: tall x is pre-expanded by t) -------
     min_b = int(pass_base.min())
@@ -258,10 +322,26 @@ def sell_from_ell(A, max_passes=None, max_elems=2_500_000,
         x_rows = _roundup(pad_top + max(0, max_b + K - 1) + Sx,
                           TILE_SUBLANES) + TILE_SUBLANES
 
+    # --- kernel feasibility: x beyond the VMEM-resident budget needs the
+    # tiled windowed-DMA kernel, which exists only for square (tall/t=1)
+    # operators and only when a row tile covering the coupling span fits
+    # VMEM.  Reject here so callers fall back to the jnp gather path at
+    # setup, instead of sell_spmv compiling a pathological kernel at
+    # solve time.
+    from pyamg_tpu.ops.sell_kernels import (_VMEM_X_BUDGET,
+                                            _pick_tile_rows)
+    if x_rows * LANE * 4 > _VMEM_X_BUDGET:
+        if not (kind == "tall" and t == 1):
+            return None
+        span = max_b - min_b + K - 1
+        if _pick_tile_rows(T, K, span, Sy) is None:
+            return None
+
     if kind == "tall" and t == 1:
         dg = np.zeros((n,), np.float32)
-        mask = (cc == ii)
-        np.add.at(dg, ii[mask], vv[mask])
+        for k in range(W):
+            hit = valid2[:, k] & (cols2[:, k] == rows32)
+            dg += np.where(hit, vals2[:, k], 0).astype(np.float32)
     else:
         dg = np.zeros((0,), np.float32)
 
@@ -272,7 +352,7 @@ def sell_from_ell(A, max_passes=None, max_elems=2_500_000,
                 shape=(int(n), int(m)),
                 t=int(t), kind=kind, K=int(K),
                 pad_top=int(pad_top), x_rows=int(x_rows),
-                _nnz=int(len(ii)),
+                _nnz=nnz,
                 base_lo=int(min_b), base_hi=int(max_b))
 
 

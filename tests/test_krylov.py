@@ -363,6 +363,68 @@ class TestHouseholderParity:
         rm = np.linalg.norm(b - A @ np.asarray(xm))
         assert rh <= 10 * rm + 1e-12 * np.linalg.norm(b), (rh, rm)
 
+    @staticmethod
+    def _gold_mgs_gmres(A, b, m):
+        """Pure-numpy sequential-MGS GMRES gold twin (reference
+        ``_gmres_mgs.py:42`` algorithm): returns (x, history of the
+        implicit residual norms |g[j+1]|)."""
+        n = len(b)
+        V = np.zeros((m + 1, n))
+        H = np.zeros((m + 1, m))
+        beta = np.linalg.norm(b)
+        V[0] = b / beta
+        g = np.zeros(m + 1)
+        g[0] = beta
+        cs = np.ones(m + 1)
+        sn = np.zeros(m + 1)
+        hist = []
+        j_end = m
+        for j in range(m):
+            w = A @ V[j]
+            for i in range(j + 1):
+                H[i, j] = V[i] @ w
+                w = w - H[i, j] * V[i]
+            H[j + 1, j] = np.linalg.norm(w)
+            if H[j + 1, j] > 1e-300:
+                V[j + 1] = w / H[j + 1, j]
+            for i in range(j):
+                hi, hi1 = H[i, j], H[i + 1, j]
+                H[i, j] = cs[i] * hi + sn[i] * hi1
+                H[i + 1, j] = -sn[i] * hi + cs[i] * hi1
+            r = np.hypot(H[j, j], H[j + 1, j])
+            cs[j], sn[j] = H[j, j] / r, H[j + 1, j] / r
+            H[j, j], H[j + 1, j] = r, 0.0
+            g[j + 1] = -sn[j] * g[j]
+            g[j] = cs[j] * g[j]
+            hist.append(abs(g[j + 1]))
+            if abs(g[j + 1]) < 1e-300:
+                j_end = j + 1
+                break
+        y = scipy.linalg.solve_triangular(H[:j_end, :j_end], g[:j_end])
+        return V[:j_end].T @ y, np.asarray(hist)
+
+    def test_mgs_matches_gold_per_iterate(self):
+        """gmres(orthog='mgs') is TRUE sequential MGS: the implicit
+        residual history matches the numpy MGS gold twin to f64 roundoff
+        (a CGS2 alias would diverge after a few iterations on an
+        ill-conditioned basis)."""
+        rng = np.random.default_rng(7)
+        n, m = 60, 25
+        Q1, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        Q2, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        A = Q1 @ np.diag(np.logspace(0, 7, n)) @ Q2.T
+        b = rng.standard_normal(n)
+        res = []
+        x, _ = krylov.gmres(from_scipy(sp.csr_matrix(A)), jnp.asarray(b),
+                            tol=1e-300, restart=m, maxiter=1,
+                            orthog="mgs", residuals=res)
+        xg, hist_g = self._gold_mgs_gmres(A, b, m)
+        hist = np.asarray(res[1:])
+        k = min(len(hist), len(hist_g))
+        np.testing.assert_allclose(hist[:k], hist_g[:k], rtol=1e-8)
+        np.testing.assert_allclose(np.asarray(x), xg, rtol=1e-6,
+                                   atol=1e-8 * np.abs(xg).max())
+
     def test_gmres_orthog_dispatch(self):
         import jax.numpy as jnp
         from pyamg_tpu.sparse.matrix import from_scipy
