@@ -56,15 +56,27 @@ def air_solver(A,
 def _extend_hierarchy(levels, strength, CF, interpolation, restrict,
                       filter_operator, keep, seed):
     """One AIR coarsening step (reference ``air.py:136-242``)."""
+    import time as _time
     A = levels[-1].A
+    _t = {}
+    _t0 = _time.perf_counter()
+
+    def _mark(key):
+        nonlocal _t0
+        now = _time.perf_counter()
+        _t[key] = _t.get(key, 0.0) + (now - _t0)
+        _t0 = now
+
     if filter_operator is not None and filter_operator[1] != 0:
         from pyamg_tpu.util.utils import filter_matrix_rows
         A = filter_matrix_rows(A, filter_operator[1], diagonal=True,
                                lump=filter_operator[0])
+    _mark("filter")
     if A.nnz == A.shape[0]:
         return True
 
     C = strength_measure(A, strength, default=("classical", {}))
+    _mark("strength")
 
     fn, cf_kwargs = unpack_arg(CF)
     if fn == "CR":
@@ -72,6 +84,7 @@ def _extend_hierarchy(levels, strength, CF, interpolation, restrict,
         splitting = CR(C, **cf_kwargs)
     else:
         splitting = split_mod.split_dispatch(C, CF, seed=seed)
+    _mark("split")
 
     num_cpts = int(np.sum(splitting))
     if num_cpts == len(splitting) or num_cpts == 0:
@@ -88,12 +101,14 @@ def _extend_hierarchy(levels, strength, CF, interpolation, restrict,
         P = injection_interpolation(A, splitting, **ikwargs)
     else:
         raise ValueError(f"unknown interpolation method {interpolation}")
+    _mark("interpolate")
 
     fn, rkwargs = unpack_arg(restrict)
     if fn in ("air", "lair"):
         R = local_air(A, splitting, **rkwargs)
     else:
         raise ValueError(f"unknown restriction method {restrict}")
+    _mark("lair_restrict")
 
     splitting = np.asarray(splitting)
     levels[-1].splitting = splitting.astype(bool)
@@ -105,5 +120,7 @@ def _extend_hierarchy(levels, strength, CF, interpolation, restrict,
     levels[-1].R = R
 
     Ac = spgemm(spgemm(R, A), P)
+    _mark("rap")
+    levels[-1]._setup_timings = _t
     levels.append(Level(A=Ac))
     return False

@@ -596,7 +596,10 @@ class MultilevelSolver:
             cyc = self._make_cycle(cycle)
             nlev = len(self.levels)
 
-            def run(dyn, ds_arrays, bhi, blo):
+            def run(dyn, ds_arrays, bds):
+                # b arrives as ONE stacked (2, n) array — two separate
+                # uploads cost an extra ~30 ms fixed tunnel dispatch
+                bhi, blo = bds[0], bds[1]
                 A_ds = {**ds_static, **ds_arrays}
                 A0 = dyn[0][0][0] if nlev > 1 else dyn[1]
                 mv = lambda v: matvec(A0, v)
@@ -661,7 +664,7 @@ class MultilevelSolver:
         ds_arrays = {k: v for k, v in self._ds_op.items()
                      if hasattr(v, "shape")}
         xs, hist, k, itot = run(self._dyn(), ds_arrays,
-                                jnp.asarray(bhi), jnp.asarray(blo))
+                                jnp.asarray(np.stack([bhi, blo])))
         xs = np.asarray(xs)
         x = ds_to_f64(xs[0], xs[1])
         if residuals is not None:

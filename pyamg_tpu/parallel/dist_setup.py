@@ -14,11 +14,13 @@ package" idea (hypre, ML/MueLu) rebuilt for shard_map + static shapes:
   extended view ``[prev_g | local | next_g]``.  The margin ``g`` is the
   operator's true coupling reach (one scalar reduction per level), so the
   plan is static per level and the traffic is ring-neighbour only;
-* aggregation is restricted to shard-local aggregates (MIS-2 Luby rounds
-  + label propagation on the local strength graph).  Aggregates never
-  cross shard boundaries — the standard distributed-AMG compromise; the
-  quality cost is a slightly higher aggregate count along the (measure
-  zero) partition boundary;
+* aggregation runs on the GLOBAL strength graph: Luby MIS-2 rounds and
+  label propagation exchange their per-node vectors through the same
+  ghost margins each round, so aggregates cross shard boundaries freely
+  (each aggregate is owned by its root's shard).  Nodes with no strong
+  neighbours — including the identity rows that pad unused coarse slots —
+  stay unaggregated with zero T rows (reference standard_aggregation
+  semantics), which is what keeps hierarchy quality flat with depth;
 * each shard owns a static block of ``C_cap`` coarse ids (global coarse id
   = shard * C_cap + local aggregate).  Unused slots become identity rows
   of the coarse operator — the static-shape price, accounted for in the
@@ -56,11 +58,6 @@ from pyamg_tpu.ops.rowops import dedup_rows
 # per-shard primitives (used inside shard_map bodies)
 # --------------------------------------------------------------------------
 
-
-def _vary(*xs):
-    """Mark constants as 'rows'-varying for shard_map loop carries."""
-    out = tuple(lax.pcast(x, ("rows",), to="varying") for x in xs)
-    return out if len(out) > 1 else out[0]
 
 def _ext_rows(x, g: int, ndev: int):
     """[prev devices' last g rows | x | next devices' first g rows].
@@ -103,12 +100,6 @@ def _gather_ext(x_ext, cols_g, base, valid):
                      out, 0), ok
 
 
-def _neighbor_max(cols_loc, ok, x):
-    """max over (local-graph) neighbors incl. self of per-node values."""
-    g, okg = _gather_ext(x, cols_loc, 0, ok)
-    return jnp.maximum(x, jnp.max(jnp.where(okg, g, -jnp.inf), axis=1))
-
-
 def _spmv_shard(vals, cols_g, valid, x_ext, base):
     g, _ = _gather_ext(x_ext, cols_g, base, valid)
     return jnp.sum(jnp.where(valid, vals, 0) * g, axis=1)
@@ -136,15 +127,46 @@ def _spmv_shard_overlap(vals, cols_g, valid, x, x_ext, row0, g_margin):
     return y_int + y_gh
 
 
+def _truncate_by_mag(cols, vals, okmask, out_width):
+    """Keep each row's ``out_width`` largest-|value| entries (operator
+    filtering under the static width caps — arbitrary column-order
+    truncation was the round-4 quality defect at depth), returned
+    column-sorted with a dropped-entry count."""
+    n, W = cols.shape
+    oki = okmask.astype(jnp.int32)
+    if W <= out_width:
+        pad = out_width - W
+        if pad:
+            cols = jnp.pad(cols, ((0, 0), (0, pad)))
+            vals = jnp.pad(vals, ((0, 0), (0, pad)))
+            okmask = jnp.pad(okmask, ((0, 0), (0, pad)))
+        return cols, vals, okmask, jnp.zeros((), jnp.int32)
+    negabs = jnp.where(okmask, -jnp.abs(vals),
+                       jnp.ones((), vals.dtype))
+    _, c2, v2, ok2 = lax.sort((negabs, cols, vals, oki), dimension=1,
+                              num_keys=1, is_stable=True)
+    dropped = jnp.sum(ok2[:, out_width:])
+    c2 = c2[:, :out_width]
+    v2 = v2[:, :out_width]
+    ok2 = ok2[:, :out_width]
+    key = jnp.where(ok2 > 0, c2, jnp.int32(2 ** 31 - 1))
+    _, c3, v3, ok3 = lax.sort((key, c2, v2, ok2), dimension=1,
+                              num_keys=1, is_stable=True)
+    return c3, jnp.where(ok3 > 0, v3, 0), ok3 > 0, dropped
+
+
 def _spgemm_shard(a_cols, a_vals, a_ok, b_cols_ext, b_vals_ext, b_ok_ext,
                   base, n_cols_out, out_width, chunk=8):
     """Per-shard C = A @ B_ext with global output columns, chunked over A
-    slots so peak candidate width stays ~chunk*WB + out_width."""
+    slots so peak candidate width stays ~chunk*WB + out_width.  Rows
+    wider than ``out_width`` keep their largest-|value| entries; the
+    dropped count is returned for diagnostics."""
     n, WA = a_cols.shape
     WB = b_cols_ext.shape[1]
     acc_c = jnp.zeros((n, out_width), jnp.int32)
     acc_v = jnp.zeros((n, out_width), b_vals_ext.dtype)
     acc_ok = jnp.zeros((n, out_width), bool)
+    dropped = jnp.zeros((), jnp.int32)
     for j0 in range(0, WA, chunk):
         j1 = min(j0 + chunk, WA)
         parts_c, parts_v, parts_ok = [acc_c], [acc_v], [acc_ok]
@@ -161,11 +183,12 @@ def _spgemm_shard(a_cols, a_vals, a_ok, b_cols_ext, b_vals_ext, b_ok_ext,
         c, v, rn = dedup_rows(cc, vv, ok, n_cols_out)
         k = jnp.arange(c.shape[1], dtype=jnp.int32)[None, :]
         keep = k < rn[:, None]
-        acc_c = c[:, :out_width]
-        acc_v = v[:, :out_width]
-        acc_ok = keep[:, :out_width]
-        # overflow slots (rn > out_width) are dropped; tracked by caller
-    return acc_c, acc_v, acc_ok
+        acc_c, acc_v, acc_ok, dr = _truncate_by_mag(c, v, keep, out_width)
+        # the last chunk's drops are final; intermediate drops can only
+        # remove entries that a later chunk would have re-merged, so the
+        # running max is the honest diagnostic
+        dropped = jnp.maximum(dropped, dr)
+    return acc_c, acc_v, acc_ok, dropped
 
 
 def _transpose_shard(p_cols_ext, p_vals_ext, p_ok_ext, col0, c_cap,
@@ -183,8 +206,13 @@ def _transpose_shard(p_cols_ext, p_vals_ext, p_ok_ext, col0, c_cap,
     iext = jnp.broadcast_to(
         jnp.arange(ne, dtype=jnp.int32)[:, None], (ne, WP)).reshape(-1)
     vals = jnp.where(ok, p_vals_ext, 0).reshape(-1)
-    key_s, iext_s, vals_s = lax.sort((key, iext, vals), dimension=0,
-                                     num_keys=1, is_stable=True)
+    # secondary sort key = -|value|: rows past the width cap drop their
+    # SMALLEST entries (magnitude filtering), not arbitrary ones
+    negabs = jnp.where(ok, -jnp.abs(p_vals_ext),
+                       jnp.ones((), p_vals_ext.dtype)).reshape(-1)
+    key_s, _, iext_s, vals_s = lax.sort((key, negabs, iext, vals),
+                                        dimension=0, num_keys=2,
+                                        is_stable=True)
     idx = jnp.arange(key_s.shape[0], dtype=jnp.int32)
     head = jnp.concatenate([jnp.ones((1,), bool), key_s[1:] != key_s[:-1]])
     run_start = lax.cummax(jnp.where(head, idx, 0))
@@ -204,42 +232,74 @@ def _transpose_shard(p_cols_ext, p_vals_ext, p_ok_ext, col0, c_cap,
     return r_cols, r_vals, r_ok, dropped
 
 
-def _mis2_local(cols_loc, ok, gid, n_loc, max_rounds=40):
-    """Luby distance-2 MIS on the shard-local graph; returns root mask."""
-    w0 = ((gid.astype(jnp.uint32) * jnp.uint32(2654435761)) >> 1)\
+_PROP_ROUNDS = 3      # label-propagation rounds; MIS-2 maximality puts
+                      # every eligible node within 2 hops of a root, so 3
+                      # rounds always label everything (radius bound 3)
+
+
+def _transfer_margin(g: int, n_loc: int, ndev: int) -> int:
+    """Static ghost margin covering transfer-operator reach: root within
+    _PROP_ROUNDS hops + 1 smoothing hop, each hop <= g rows."""
+    return min((_PROP_ROUNDS + 1) * g, ndev * n_loc)
+
+
+def _nb_max_global(cols_g, strong, x, row0, g, ndev, fill=-1):
+    """max over strong neighbors (cross-shard, via margin exchange) incl.
+    self of integer per-node values."""
+    x_ext = _ext_rows(x, g, ndev)
+    gx, okg = _gather_ext(x_ext, cols_g, row0 - g, strong)
+    return jnp.maximum(x, jnp.max(jnp.where(okg, gx, fill), axis=1))
+
+
+def _mis2_global(cols_g, strong, eligible, rows_g, row0, g, ndev,
+                 max_rounds=24):
+    """Luby distance-2 MIS on the GLOBAL strength graph: per round the
+    owner computes its rows' values and ring-exchanges them, so distance-2
+    maxima cross shard boundaries exactly (the two-phase halo idiom).
+    Deterministic global-id hash weights; returns the root mask."""
+    w0 = ((rows_g.astype(jnp.uint32) * jnp.uint32(2654435761)) >> 1)\
         .astype(jnp.int32)
 
+    def nb_max(x):
+        return _nb_max_global(cols_g, strong, x, row0, g, ndev)
+
     def round_(state):
-        active, roots, it = state
+        active, roots, it, done = state
         wa = jnp.where(active, w0, -1)
-        m1 = _neighbor_max(cols_loc, ok, wa)
-        m2 = _neighbor_max(cols_loc, ok, m1)
+        m1 = nb_max(wa)
+        m2 = nb_max(m1)
         new_roots = active & (wa == m2) & (wa >= 0)
-        r1 = _neighbor_max(cols_loc, ok,
-                           jnp.where(new_roots | roots, 1, 0))
-        r2 = _neighbor_max(cols_loc, ok, r1)
-        return (active & (r2 < 1), roots | new_roots, it + 1)
+        roots2 = roots | new_roots
+        r1 = nb_max(jnp.where(roots2, 1, 0))
+        r2 = nb_max(r1)
+        active2 = active & (r2 < 1)
+        rem = lax.psum(jnp.sum(active2.astype(jnp.int32)), "rows")
+        return (active2, roots2, it + 1, rem == 0)
 
     def cond(state):
-        active, _, it = state
-        return jnp.any(active) & (it < max_rounds)
+        return (~state[3]) & (state[2] < max_rounds)
 
-    active0, roots0 = _vary(jnp.ones((n_loc,), bool),
-                            jnp.zeros((n_loc,), bool))
-    _, roots, _ = lax.while_loop(cond, round_, (active0, roots0, 0))
+    rem0 = lax.psum(jnp.sum(eligible.astype(jnp.int32)), "rows")
+    st = (eligible, jnp.zeros_like(eligible), jnp.int32(0), rem0 == 0)
+    _, roots, _, _ = lax.while_loop(cond, round_, st)
     return roots
 
 
-def _propagate_local(cols_loc, ok, w, lab, rounds=4):
+def _propagate_global(cols_g, strong, w, lab, eligible, row0, g, ndev,
+                      rounds=6):
+    """Cross-shard label propagation: each round exchanges the label
+    vector's margins, then every unlabeled node adopts the label of its
+    strongest labeled neighbor (labels are global root row ids)."""
     for _ in range(rounds):
-        labs, okg = _gather_ext(lab, cols_loc, 0, ok)
+        lab_ext = _ext_rows(lab, g, ndev)
+        labs, okg = _gather_ext(lab_ext, cols_g, row0 - g, strong)
         # invalid gather slots fill with 0, which is a real label — mask
         okl = okg & (jnp.where(okg, labs, -1) >= 0)
         score = jnp.where(okl, w, -jnp.inf)
         j = jnp.argmax(score, axis=1)
         best_ok = jnp.take_along_axis(okl, j[:, None], axis=1)[:, 0]
         best = jnp.take_along_axis(labs, j[:, None], axis=1)[:, 0]
-        lab = jnp.where((lab < 0) & best_ok, best, lab)
+        lab = jnp.where((lab < 0) & eligible & best_ok, best, lab)
     return lab
 
 
@@ -264,6 +324,10 @@ class DistLevel:
     r_vals: jax.Array = None
     r_ok: jax.Array = None
     omega: float = None        # damped-Jacobi weight (omega/rho folded in)
+    gp: int = 0                # transfer margin: R cols index the
+                               # [prev_gp | local | next_gp] extension
+    gcp: int = 0               # extra coarse-vector margin for prolong
+                               # (cross-shard aggregate ownership reach)
 
     @property
     def n(self):
@@ -314,16 +378,18 @@ class DistHierarchy:
             x_ext = _ext_rows(x, g, mesh_n)
             r = b - _spmv_shard_overlap(L["vals"], L["cols"], L["ok"], x,
                                         x_ext, meta["base"], g)
-            # restrict: R cols are extended-fine indices of r_ext
-            r_ext = _ext_rows(r, g, mesh_n)
+            # restrict: R cols index the gp-extended fine row space
+            gp = meta["gp"]
+            r_ext = _ext_rows(r, gp, mesh_n)
             bc = jnp.sum(jnp.where(L["r_ok"], L["r_vals"], 0) *
                          jnp.stack([r_ext[L["r_cols"][:, j]]
                                     for j in range(L["r_cols"].shape[1])],
                                    axis=1), axis=1)
             xc = cycle(l + 1, jnp.zeros_like(bc), bc)
-            # prolong: P cols are global coarse ids of the next level
+            # prolong: P cols are global coarse ids of the next level;
+            # cross-shard aggregate ownership reaches gcp coarse rows
             Lc, metac = levs[l + 1]
-            gc = metac["g"]
+            gc = max(metac["g"], meta["gcp"])
             xc_ext = _ext_rows(xc, gc, mesh_n)
             e = _spmv_shard(L["p_vals"], L["p_cols"], L["p_ok"], xc_ext,
                             metac["base"] - gc)
@@ -343,7 +409,8 @@ class DistHierarchy:
             if L.p_cols is not None:
                 d.update(p_cols=L.p_cols, p_vals=L.p_vals, p_ok=L.p_ok,
                          r_cols=L.r_cols, r_vals=L.r_vals, r_ok=L.r_ok)
-            out.append((d, {"g": L.g, "omega": L.omega, "n_loc": L.n_loc}))
+            out.append((d, {"g": L.g, "omega": L.omega, "n_loc": L.n_loc,
+                            "gp": L.gp, "gcp": L.gcp}))
         return out
 
     def solve_cg(self, b, tol=1e-8, maxiter=100, nu=2):
@@ -512,7 +579,7 @@ def distributed_sa_setup(cols, vals, ok, n_loc, mesh: Mesh,
                          theta=0.0, omega=4.0 / 3.0, max_levels=10,
                          coarsen_until=4096, coarse_ratio=4,
                          wp_cap=12, wr_cap=48, wac_cap=24,
-                         rho_iters=8, seed=0):
+                         rho_iters=12, seed=0):
     """Build an SA hierarchy from a sharded fine operator.
 
     Args:
@@ -553,11 +620,14 @@ def distributed_sa_setup(cols, vals, ok, n_loc, mesh: Mesh,
         (p_cols, p_vals, p_ok, r_cols, r_vals, r_ok,
          ac_cols, ac_vals, ac_ok, Dinv, nagg, dropped) = out
 
+        gp = _transfer_margin(g, lvl_nloc, ndev)
         L = DistLevel(cols=lvl_cols, vals=lvl_vals, ok=lvl_ok,
                       n_loc=lvl_nloc, g=g, Dinv=Dinv,
                       p_cols=p_cols, p_vals=p_vals, p_ok=p_ok,
                       r_cols=r_cols, r_vals=r_vals, r_ok=r_ok,
-                      omega=float(omega / max(rho, 1e-30)))
+                      omega=float(omega / max(rho, 1e-30)),
+                      gp=gp,
+                      gcp=(-(-gp // lvl_nloc)) * c_cap)
         levels.append(L)
         diagnostics["nagg"].append(int(np.sum(np.asarray(nagg))))
         diagnostics["dropped"].append(int(np.sum(np.asarray(dropped))))
@@ -636,9 +706,22 @@ def _power_rho(cols, vals, ok, n_loc, g, mesh, iters=8, seed=0):
                                    "wp_cap", "wr_cap", "wac_cap", "seed"))
 def _level_step(cols, vals, ok, n_loc, g, c_cap, mesh, theta, omega_eff,
                 wp_cap, wr_cap, wac_cap, seed):
-    """One sharded SA level: strength -> local aggregation -> T -> P ->
-    AP -> R -> Ac, all inside a single shard_map."""
+    """One sharded SA level: strength -> cross-shard aggregation -> T ->
+    P -> AP -> R -> Ac, all inside a single shard_map."""
     ndev = int(mesh.devices.size)
+    # transfer margin: a node's aggregate root sits <= _PROP_ROUNDS
+    # strength-graph hops away (each hop spans <= g rows), plus one hop
+    # of prolongation smoothing
+    gP = _transfer_margin(g, n_loc, ndev)
+    # effective static width caps: coarse-level operators are denser, so
+    # P rows legitimately reach W+1 entries and Ac rows grow with the
+    # squared stencil — scale the caps with the incoming width instead
+    # of truncating real entries (magnitude filtering still guards the
+    # tail, counted in `dropped`)
+    W_in = int(cols.shape[1])
+    wp_eff = max(wp_cap, W_in + 1)
+    wr_eff = max(wr_cap, 2 * wp_eff)
+    wac_eff = max(wac_cap, W_in + 8)
 
     def body(cols_b, vals_b, ok_b):
         dev = lax.axis_index("rows")
@@ -659,34 +742,53 @@ def _level_step(cols, vals, ok, n_loc, g, c_cap, mesh, theta, omega_eff,
         offdiag = cols_b != rows_g[:, None]
         strong = strong & offdiag
 
-        # --- shard-local aggregation (cols localized; remote -> invalid)
-        cols_loc = cols_b - row0
-        loc_ok = strong & (cols_loc >= 0) & (cols_loc < n)
-        cols_loc = jnp.clip(cols_loc, 0, n - 1)
-        roots = _mis2_local(cols_loc, loc_ok, rows_g, n)
-        lab = jnp.where(roots, jnp.cumsum(roots.astype(jnp.int32)) - 1,
-                        -1)
-        w = jnp.where(loc_ok, jnp.abs(vals_b), 0)
-        lab = _propagate_local(cols_loc, loc_ok, w, lab, rounds=4)
-        # stragglers become singleton aggregates
-        nroot = jnp.sum(roots.astype(jnp.int32))
-        strag = lab < 0
-        extra = jnp.cumsum(strag.astype(jnp.int32)) - 1
-        lab = jnp.where(strag, nroot + extra, lab)
-        nagg = nroot + jnp.sum(strag.astype(jnp.int32))
+        # --- cross-shard aggregation on the GLOBAL strength graph.
+        # Nodes with no strong neighbor (isolated rows, and the identity
+        # rows padding unused coarse slots of the previous level) stay
+        # unaggregated with a zero T row — the reference's
+        # standard_aggregation semantics (smoothed_aggregation.h:177).
+        # Without this, identity rows become singleton aggregates and
+        # compound per level until real aggregates alias into clamped
+        # slots (the round-4 depth-degradation defect).
+        eligible = jnp.any(strong, axis=1)
+        roots = _mis2_global(cols_b, strong, eligible, rows_g, row0, g,
+                             ndev)
+        lab = jnp.where(roots, rows_g, jnp.int32(-1))
+        w = jnp.where(strong, jnp.abs(vals_b), 0)
+        lab = _propagate_global(cols_b, strong, w, lab, eligible, row0, g,
+                                ndev, rounds=_PROP_ROUNDS)
+        # eligible stragglers (label never arrived) seal as singletons
+        strag = eligible & (lab < 0)
+        roots = roots | strag
+        lab = jnp.where(strag, rows_g, lab)
+        rank = jnp.cumsum(roots.astype(jnp.int32)) - 1
+        nagg = jnp.sum(roots.astype(jnp.int32))
         overflow_agg = jnp.maximum(nagg - c_cap, 0)
-        lab = jnp.minimum(lab, c_cap - 1)        # clamp overflow (flagged)
+        croot = jnp.where(roots,
+                          dev * c_cap + jnp.minimum(rank, c_cap - 1),
+                          jnp.int32(-1))
 
-        # --- tentative prolongator (K=1 constant candidate, unit columns)
-        sizes = jnp.zeros((c_cap,), vals_b.dtype).at[lab].add(1.0)
-        tval = 1.0 / jnp.sqrt(jnp.maximum(sizes[lab], 1e-30))
-        t_cols = dev * c_cap + lab               # global coarse id
-        t_vals = tval
+        # --- tentative prolongator: coarse id of each node's root,
+        # fetched through a wider margin (roots sit <= propagation-round
+        # hops away, each hop spanning <= g rows).  Unit T columns: the
+        # V-cycle is invariant to per-column scaling of T (Galerkin +
+        # diagonally-scaled smoothers are scaling-equivariant), so the
+        # reference's 1/sqrt(aggregate size) normalization
+        # (fit_candidates) is not exchanged for.
+        croot_ext = _ext_rows(croot, gP, ndev)
+        ridx = lab - (row0 - gP)
+        ok_r = (lab >= 0) & (ridx >= 0) & (ridx < croot_ext.shape[0])
+        cid = jnp.where(
+            ok_r, croot_ext[jnp.clip(ridx, 0, croot_ext.shape[0] - 1)],
+            jnp.int32(-1))
+        t_ok = cid >= 0
+        t_cols = jnp.where(t_ok, cid, 0)
+        t_vals = jnp.where(t_ok, jnp.ones((), vals_b.dtype), 0)
 
         # --- P = (I - omega_eff D^-1 A) T  (width <= W+1, dedup'd)
         t_cols_ext = _ext_rows(t_cols, g, ndev)
         t_vals_ext = _ext_rows(t_vals, g, ndev)
-        t_ok_ext = _ext_rows(jnp.ones((n,), bool), g, ndev)
+        t_ok_ext = _ext_rows(t_ok, g, ndev)
         # candidate from -omega D^-1 A T
         tj_c, okj = _gather_ext(t_cols_ext, cols_b, row0 - g, ok_b)
         tj_v, _ = _gather_ext(t_vals_ext, cols_b, row0 - g, ok_b)
@@ -696,41 +798,38 @@ def _level_step(cols, vals, ok, n_loc, g, c_cap, mesh, theta, omega_eff,
             [t_vals[:, None],
              -omega_eff * dinv[:, None] * vals_b * tj_v], axis=1)
         cand_ok = jnp.concatenate(
-            [jnp.ones((n, 1), bool), ok_b & okj & tj_ok], axis=1)
+            [t_ok[:, None], ok_b & okj & tj_ok], axis=1)
         pc, pv, prn = dedup_rows(cand_c, cand_v, cand_ok, ndev * c_cap)
         kk = jnp.arange(pc.shape[1], dtype=jnp.int32)[None, :]
         p_ok_full = kk < prn[:, None]
-        dropped_p = jnp.sum(jnp.maximum(prn - wp_cap, 0))
-        p_cols = pc[:, :wp_cap]
-        p_vals = pv[:, :wp_cap]
-        p_ok = p_ok_full[:, :wp_cap]
+        p_cols, p_vals, p_ok, dropped_p = _truncate_by_mag(
+            pc, pv, p_ok_full, wp_eff)
 
-        # --- AP = A @ P_ext   (global coarse cols)
-        p_cols_ext = _ext_rows(p_cols, g, ndev)
-        p_vals_ext = _ext_rows(p_vals, g, ndev)
-        p_ok_ext = _ext_rows(p_ok, g, ndev)
-        ap_c, ap_v, ap_ok = _spgemm_shard(
+        # --- AP = A @ P_ext   (global coarse cols).  P is extended by
+        # gP (not g): cross-shard aggregates mean P entries contributing
+        # to a remote shard's coarse block sit up to gP rows away, and
+        # the transpose/Galerkin below read that same extension.
+        p_cols_ext = _ext_rows(p_cols, gP, ndev)
+        p_vals_ext = _ext_rows(p_vals, gP, ndev)
+        p_ok_ext = _ext_rows(p_ok, gP, ndev)
+        ap_c, ap_v, ap_ok, dropped_ap = _spgemm_shard(
             cols_b, vals_b, ok_b, p_cols_ext, p_vals_ext, p_ok_ext,
-            row0 - g, ndev * c_cap, wac_cap)
+            row0 - gP, ndev * c_cap, wac_eff)
 
         # --- R = P_ext^T restricted to local coarse block
         r_cols, r_vals, r_ok, dropped_r = _transpose_shard(
-            p_cols_ext, p_vals_ext, p_ok_ext, dev * c_cap, c_cap, wr_cap)
+            p_cols_ext, p_vals_ext, p_ok_ext, dev * c_cap, c_cap, wr_eff)
 
-        # --- Ac = R @ AP_ext  (R cols are extended-fine indices)
-        ap_c_ext = _ext_rows(ap_c, g, ndev)
-        ap_v_ext = _ext_rows(ap_v, g, ndev)
-        ap_ok_ext = _ext_rows(ap_ok, g, ndev)
-        # R's columns index the *extended* row space directly (base 0):
-        # note ext arrays here are [prev_g | local | next_g] with R built
-        # against the same extension — but R cols refer to *this* level's
-        # ext numbering while ap_*_ext is extended again; R col j maps to
-        # ap_*_ext row j + g? No: R cols index rows of the P extension
-        # [0, n+2g); ap_c (local rows) extended the same way aligns row
-        # i_ext of P_ext with row i_ext of ap_*_ext. Base 0.
-        ac_c, ac_v, ac_ok = _spgemm_shard(
+        # --- Ac = R @ AP_ext  (R cols are extended-fine indices).
+        # R cols index rows of the gP-extended P; extending AP by the
+        # same gP aligns extended row i of P_ext with extended row i of
+        # ap_*_ext, so the product uses base 0.
+        ap_c_ext = _ext_rows(ap_c, gP, ndev)
+        ap_v_ext = _ext_rows(ap_v, gP, ndev)
+        ap_ok_ext = _ext_rows(ap_ok, gP, ndev)
+        ac_c, ac_v, ac_ok, dropped_ac = _spgemm_shard(
             r_cols, r_vals, r_ok, ap_c_ext, ap_v_ext, ap_ok_ext,
-            0, ndev * c_cap, wac_cap)
+            0, ndev * c_cap, wac_eff)
         # identity rows for unused coarse slots keep smoothers defined
         slot = jnp.arange(c_cap, dtype=jnp.int32)
         used = slot < jnp.minimum(nagg, c_cap)
@@ -749,7 +848,8 @@ def _level_step(cols, vals, ok, n_loc, g, c_cap, mesh, theta, omega_eff,
              jnp.zeros((c_cap, ac_ok.shape[1] - 1), bool)], axis=1)
         ac_ok = jnp.where(used[:, None], ac_ok, ident_ok)
 
-        dropped = (overflow_agg + dropped_p + dropped_r)[None]
+        dropped = (overflow_agg + dropped_p + dropped_r + dropped_ap +
+                   dropped_ac)[None]
         return (p_cols, p_vals, p_ok, r_cols, r_vals, r_ok,
                 ac_c, ac_v, ac_ok, dinv, nagg[None],
                 dropped.astype(jnp.int32))
