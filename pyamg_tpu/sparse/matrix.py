@@ -512,21 +512,30 @@ class PhaseStencil:
         shifted reads of padded products instead of ``.at[].add``
         scatter accumulations (which serialize on TPU).  Terms sharing
         an offset share one slice; products/sums fuse."""
+        from jax import lax
         cg, rg, r = self.col_grid, self.row_grid, self.ratio
         nd = len(cg)
         lo, hi = self._extents()
         pad_fine = [(0, cg[d] * r[d] - rg[d]) for d in range(nd)]
         Y = jnp.pad(y.reshape(rg), pad_fine)
-        # (c0*r0, ...) -> (c0, r0, c1, r1, ...) -> (r0..rk, c0..ck)
-        Y = Y.reshape(sum(((cg[d], r[d]) for d in range(nd)), ()))
-        axes = [2 * d + 1 for d in range(nd)] + [2 * d for d in range(nd)]
-        Yp = jnp.transpose(Y, axes).reshape((-1,) + tuple(cg))
+        # phase extraction by STRIDED slices — the interleaved-minor-dim
+        # transpose this replaces forced a slow relayout (~70 us of a
+        # ~115 us apply on the 500^2 level)
+        lim = [cg[d] * r[d] for d in range(nd)]
+        phase_cache = {}
+
+        def phase(pidx):
+            if pidx not in phase_cache:
+                starts = np.unravel_index(pidx, r)
+                phase_cache[pidx] = lax.slice(Y, starts, lim, r)
+            return phase_cache[pidx]
+
         M = tuple(max(lo[d], hi[d]) for d in range(nd))
         out = None
         for off, terms in self._by_offset().items():
             prod = None
             for (p, k) in terms:
-                t = self.arrays[p][k] * Yp[p]
+                t = self.arrays[p][k] * phase(p)
                 prod = t if prod is None else prod + t
             Ppad = jnp.pad(prod, [(M[d], M[d]) for d in range(nd)])
             sl = tuple(slice(M[d] - off[d], M[d] - off[d] + cg[d])
