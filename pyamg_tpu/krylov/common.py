@@ -32,7 +32,7 @@ def as_matvec(A):
     if callable(getattr(A, "matvec", None)):
         n = A.shape[0]
         dt = getattr(A, "dtype", jnp.float64)
-        return A.matvec, n, dt, None
+        return A.matvec, n, dt, getattr(A, "fro", None)
     if callable(A):
         raise TypeError("pass a LinearOperator-like with .shape, not a bare "
                         "callable")

@@ -22,11 +22,41 @@ def _rtol_const(criteria, tol, normb, normMb, fro, x0norm):
     """Stopping threshold; 'rr' and 'MrMr' use constant thresholds."""
     if criteria == "rr":
         return tol * normb
+    if criteria == "rr+":
+        # reference _cg.py:116-123: ||r|| < tol (||A||_F ||x0|| + ||b||)
+        if fro is None:
+            raise ValueError(
+                "criteria 'rr+' needs a matrix with accessible entries "
+                "(||A||_F); got an abstract LinearOperator")
+        froA = fro() if callable(fro) else fro
+        return tol * (froA * x0norm + normb)
     if criteria == "MrMr":
         return tol * normMb
     if criteria == "rMr":
         return tol
     raise ValueError(f"invalid stopping criteria {criteria!r}")
+
+
+def _criteria_fns(criteria, tol, b, x0, Mv, fro, allowed):
+    """(measure(r), rtol) per the reference's stopping-criteria table
+    (``_cg.py:100-130``); raises for criteria a method doesn't admit."""
+    if criteria not in allowed:
+        raise ValueError(f"invalid stopping criteria {criteria!r}")
+    normb = norm(b)
+    normb = jnp.where(normb == 0, 1.0, normb)
+    if criteria == "rr":
+        return norm, tol * normb
+    if criteria == "rr+":
+        if fro is None:
+            raise ValueError(
+                "criteria 'rr+' needs a matrix with accessible entries")
+        froA = fro() if callable(fro) else fro
+        return norm, tol * (froA * norm(x0) + normb)
+    if criteria == "MrMr":
+        return (lambda r: norm(Mv(r))), tol * norm(Mv(b))
+    # rMr
+    return (lambda r: jnp.sqrt(jnp.maximum(
+        jnp.real(dot(r, Mv(r))), 0.0))), tol
 
 
 def cg_loop(mv, Mv, x, b, tol, criteria, maxiter, fro=1.0,
@@ -183,15 +213,15 @@ def bicgstab(A, b, x0=None, tol=1e-5, criteria="rr", maxiter=None, M=None,
     """BiCGStab (reference ``krylov/_bicgstab.py``)."""
     mv, n, dtype, fro, b, x, maxiter = prepare(A, b, x0, maxiter)
     Mv = as_precond(M)
-    normb = norm(b)
-    normb = jnp.where(normb == 0, 1.0, normb)
+    meas, rtol0 = _criteria_fns(criteria, tol, b, x, Mv, fro,
+                                ("rr", "rr+"))
 
     def run(x):
         r = b - mv(x)
         rstar = r
         p = r
         rrstar = dot(rstar, r)
-        rtol = tol * normb
+        rtol = rtol0
         resbuf = jnp.zeros((maxiter + 1,), real_dtype(b.dtype))
         resbuf = resbuf.at[0].set(norm(r).astype(resbuf.dtype))
 
@@ -217,14 +247,14 @@ def bicgstab(A, b, x0=None, tol=1e-5, criteria="rr", maxiter=None, M=None,
                 (alpha / jnp.where(omega == 0, 1, omega))
             pn = rn + beta * (p - omega * AMp)
             itn = it + 1
-            nr = norm(rn)
-            resbuf = resbuf.at[itn].set(nr.astype(resbuf.dtype))
+            nr = meas(rn)
+            resbuf = resbuf.at[itn].set(norm(rn).astype(resbuf.dtype))
             conv = nr < rtol
             brk = (denom == 0) | (omega == 0)
             info = jnp.where(brk, -1, jnp.where(conv, 0, info))
             return xn, rn, pn, rrstar_n, itn, resbuf, conv | brk, info
 
-        normr0 = norm(r)
+        normr0 = meas(r)
         init = (x, r, p, rrstar, jnp.int32(0), resbuf, normr0 < rtol,
                 jnp.int32(0))
         x, r, p, rrstar, it, resbuf, done, info = lax.while_loop(
@@ -265,10 +295,12 @@ def cgne(A, b, x0=None, tol=1e-5, criteria="rr", maxiter=None, M=None,
     """CG on the normal equations A A^H y = b, x = A^H y
     (reference ``krylov/_cgne.py``)."""
     mvA, mvAH = _normal_equations(A, "ne")
+    _, _, _, _froA = as_matvec(A)
 
     class _Op:
         shape = (A.shape[0], A.shape[0])
         dtype = A.dtype
+        fro = _froA        # 'rr+' scales by the original ||A||_F
         @staticmethod
         def matvec(v):
             return mvA(mvAH(v))
@@ -284,10 +316,12 @@ def cgnr(A, b, x0=None, tol=1e-5, criteria="rr", maxiter=None, M=None,
     """CG on A^H A x = A^H b (reference ``krylov/_cgnr.py``)."""
     mvA, mvAH = _normal_equations(A, "nr")
     bn = mvAH(jnp.asarray(b).reshape(-1))
+    _, _, _, _froA = as_matvec(A)
 
     class _Op:
         shape = (A.shape[1], A.shape[1])
         dtype = A.dtype
+        fro = _froA        # 'rr+' scales by the original ||A||_F
         @staticmethod
         def matvec(v):
             return mvAH(mvA(v))
@@ -301,8 +335,8 @@ def cr(A, b, x0=None, tol=1e-5, criteria="rr", maxiter=None, M=None,
     """Conjugate residual method (reference ``krylov/_cr.py``)."""
     mv, n, dtype, fro, b, x, maxiter = prepare(A, b, x0, maxiter)
     Mv = as_precond(M)
-    normb = norm(b)
-    normb = jnp.where(normb == 0, 1.0, normb)
+    meas, rtol0 = _criteria_fns(criteria, tol, b, x, Mv, fro,
+                                ("rr", "rr+", "MrMr"))
 
     def run(x):
         r = Mv(b - mv(x))
@@ -310,7 +344,7 @@ def cr(A, b, x0=None, tol=1e-5, criteria="rr", maxiter=None, M=None,
         Ar = mv(r)
         Ap = mv(p)
         rAr = dot(r, Ar)
-        rtol = tol * normb
+        rtol = rtol0
         resbuf = jnp.zeros((maxiter + 1,), real_dtype(b.dtype))
         resbuf = resbuf.at[0].set(norm(b - mv(x)).astype(resbuf.dtype))
 
@@ -330,14 +364,15 @@ def cr(A, b, x0=None, tol=1e-5, criteria="rr", maxiter=None, M=None,
             beta = rArn / jnp.where(rAr == 0, 1, rAr)
             pn = rn + beta * p
             itn = it + 1
-            nr = norm(b - mv(xn))
-            resbuf = resbuf.at[itn].set(nr.astype(resbuf.dtype))
+            rtrue = b - mv(xn)
+            nr = meas(rtrue)
+            resbuf = resbuf.at[itn].set(norm(rtrue).astype(resbuf.dtype))
             conv = nr < rtol
             info = jnp.where(conv, 0, info)
             return xn, rn, pn, rArn, itn, resbuf, conv | (d == 0), info
 
         init = (x, r, p, rAr, jnp.int32(0), resbuf,
-                norm(b - mv(x)) < rtol, jnp.int32(0))
+                meas(b - mv(x)) < rtol, jnp.int32(0))
         x, r, p, rAr, it, resbuf, done, info = lax.while_loop(
             cond, body, init)
         info = jnp.where((info == 0) & (it >= maxiter) & ~done, it, info)
@@ -356,11 +391,11 @@ def minimal_residual(A, b, x0=None, tol=1e-5, criteria="rr", maxiter=None,
     (reference ``krylov/_minimal_residual.py``)."""
     mv, n, dtype, fro, b, x, maxiter = prepare(A, b, x0, maxiter)
     Mv = as_precond(M)
-    normb = norm(b)
-    normb = jnp.where(normb == 0, 1.0, normb)
+    meas, rtol0 = _criteria_fns(criteria, tol, b, x, Mv, fro,
+                                ("rr", "rr+", "MrMr", "rMr"))
 
     def run(x):
-        rtol = tol * normb
+        rtol = rtol0
 
         def cond(st):
             return (~st[3]) & (st[1] < maxiter)
@@ -373,15 +408,16 @@ def minimal_residual(A, b, x0=None, tol=1e-5, criteria="rr", maxiter=None,
             alpha = dot(Ar, r) / jnp.where(d == 0, 1, d)
             xn = x + alpha * r
             itn = it + 1
-            nr = norm(b - mv(xn))
-            resbuf = resbuf.at[itn].set(nr.astype(resbuf.dtype))
+            rtrue = b - mv(xn)
+            nr = meas(rtrue)
+            resbuf = resbuf.at[itn].set(norm(rtrue).astype(resbuf.dtype))
             conv = nr < rtol
             return xn, itn, resbuf, conv | (d == 0), \
                 jnp.where(conv, 0, info)
 
         resbuf = jnp.zeros((maxiter + 1,), real_dtype(b.dtype))
         resbuf = resbuf.at[0].set(norm(b - mv(x)).astype(resbuf.dtype))
-        init = (x, jnp.int32(0), resbuf, norm(b - mv(x)) < rtol,
+        init = (x, jnp.int32(0), resbuf, meas(b - mv(x)) < rtol,
                 jnp.int32(0))
         x, it, resbuf, done, info = lax.while_loop(cond, body, init)
         info = jnp.where((info == 0) & (it >= maxiter) & ~done, it, info)
@@ -400,11 +436,11 @@ def steepest_descent(A, b, x0=None, tol=1e-5, criteria="rr", maxiter=None,
     (reference ``krylov/_steepest_descent.py``)."""
     mv, n, dtype, fro, b, x, maxiter = prepare(A, b, x0, maxiter)
     Mv = as_precond(M)
-    normb = norm(b)
-    normb = jnp.where(normb == 0, 1.0, normb)
+    meas, rtol0 = _criteria_fns(criteria, tol, b, x, Mv, fro,
+                                ("rr", "rr+", "MrMr", "rMr"))
 
     def run(x):
-        rtol = tol * normb
+        rtol = rtol0
 
         def cond(st):
             return (~st[3]) & (st[1] < maxiter)
@@ -418,15 +454,16 @@ def steepest_descent(A, b, x0=None, tol=1e-5, criteria="rr", maxiter=None,
             alpha = dot(r, z) / jnp.where(d == 0, 1, d)
             xn = x + alpha * z
             itn = it + 1
-            nr = norm(b - mv(xn))
-            resbuf = resbuf.at[itn].set(nr.astype(resbuf.dtype))
+            rtrue = b - mv(xn)
+            nr = meas(rtrue)
+            resbuf = resbuf.at[itn].set(norm(rtrue).astype(resbuf.dtype))
             conv = nr < rtol
             return xn, itn, resbuf, conv | (d <= 0), \
                 jnp.where(conv, 0, jnp.where(d <= 0, -1, info))
 
         resbuf = jnp.zeros((maxiter + 1,), real_dtype(b.dtype))
         resbuf = resbuf.at[0].set(norm(b - mv(x)).astype(resbuf.dtype))
-        init = (x, jnp.int32(0), resbuf, norm(b - mv(x)) < rtol,
+        init = (x, jnp.int32(0), resbuf, meas(b - mv(x)) < rtol,
                 jnp.int32(0))
         x, it, resbuf, done, info = lax.while_loop(cond, body, init)
         info = jnp.where((info == 0) & (it >= maxiter) & ~done, it, info)

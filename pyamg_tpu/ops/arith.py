@@ -58,7 +58,15 @@ def add_scaled_identity(A: ELL, alpha=1.0, beta=1.0, width=None) -> ELL:
     """beta*I + alpha*A (square A)."""
     n = A.shape[0]
     xp = _xp(A.vals)
-    eye_col = xp.arange(n, dtype=xp.int32)[:, None]
+    rows = xp.arange(n, dtype=xp.int32)
+    isdiag = (A.cols == rows[:, None]) & A.valid_mask()
+    if xp is np and bool(isdiag.any(axis=1).all()):
+        # every row stores its diagonal (the usual case): update in
+        # place — no concatenate/sort/dedup restructuring
+        vals = A.vals * alpha + xp.where(isdiag, beta, 0)
+        return ELL(A.cols, vals, A.row_nnz, A.shape, grid=A.grid,
+                   col_grid=A.col_grid)
+    eye_col = rows[:, None]
     cols = xp.concatenate([A.cols, eye_col], axis=1)
     vals = xp.concatenate(
         [A.vals * alpha,
@@ -74,6 +82,10 @@ def with_diagonal(A: ELL, d: jax.Array) -> ELL:
     xp = _xp(A.vals, d)
     rows = xp.arange(n, dtype=xp.int32)
     isdiag = (A.cols == rows[:, None]) & A.valid_mask()
+    if xp is np and bool(isdiag.any(axis=1).all()):
+        vals = xp.where(isdiag, xp.asarray(d)[:, None], A.vals)
+        return ELL(A.cols, vals, A.row_nnz, A.shape, grid=A.grid,
+                   col_grid=A.col_grid)
     vals = xp.where(isdiag, 0, A.vals)
     eye_col = rows[:, None]
     cols = xp.concatenate([A.cols, eye_col], axis=1)

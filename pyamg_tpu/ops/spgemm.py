@@ -102,10 +102,14 @@ def masked_spgemm(A: ELL, B: ELL, pattern_cols: jax.Array,
         C.sort_indices()
         m = C.shape[1]
         rows = np.repeat(np.arange(C.shape[0]), np.diff(C.indptr))
-        ckey = rows.astype(np.int64) * m + C.indices
+        # float64 keys: exact up to 2^53 (row*m + col needs ~2*log2(n)
+        # bits) and this host runs int64 vector ops ~60x slower than
+        # f64/int32; int64 fallback only past the exactness bound
+        kdt = np.float64 if C.shape[0] * m < 2 ** 53 else np.int64
+        ckey = rows.astype(kdt) * m + C.indices
         pc = np.asarray(pattern_cols)
         pv = np.asarray(pattern_valid)
-        qkey = (np.arange(pc.shape[0], dtype=np.int64)[:, None] * m
+        qkey = (np.arange(pc.shape[0], dtype=kdt)[:, None] * m
                 + pc)
         idx = np.searchsorted(ckey, qkey)
         idx = np.minimum(idx, max(len(ckey) - 1, 0))

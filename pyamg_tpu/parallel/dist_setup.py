@@ -557,6 +557,76 @@ def dist_stencil_grid(stencil, grid, mesh: Mesh, dtype=jnp.float32):
     return cols, vals, ok, n_loc
 
 
+def dist_from_scipy(A, mesh: Mesh, dtype=jnp.float32, rcm=True):
+    """Row-partition a general (scipy-convertible) square sparse matrix
+    into the sharded ``(cols, vals, ok, n_loc)`` format that
+    ``distributed_sa_setup`` consumes (SURVEY §7.3 "halo plans for
+    general graphs": the halo plan here is the ghost-margin bound, so a
+    bandwidth-reducing ordering is what makes general matrices cheap).
+
+    ``rcm=True`` applies reverse-Cuthill-McKee first (reference
+    ``pyamg/util``-adjacent ``graph.py:744`` ``symmetric_rcm``): the ring
+    margin ``g`` is the matrix bandwidth, so RCM typically shrinks the
+    exchanged ghost rows by orders of magnitude on unstructured meshes.
+
+    Returns ``(cols, vals, ok, n_loc, perm)`` — ``perm`` maps original
+    row ids to the internal ordering (identity when ``rcm=False``);
+    solutions come back in the internal ordering, so apply
+    ``x_orig[perm] = x_internal`` ... i.e. ``x_orig = x[inv]`` with
+    ``inv = np.argsort(perm)``.
+    """
+    import scipy.sparse as sp
+    from pyamg_tpu.sparse.matrix import to_scipy as _tosp_mat
+    if not sp.issparse(A):
+        A = _tosp_mat(A)
+    A = A.tocsr()
+    n, m = A.shape
+    if n != m:
+        raise ValueError("expected square matrix")
+    if rcm:
+        from pyamg_tpu.graph import symmetric_rcm
+        from pyamg_tpu.sparse.matrix import from_scipy as _fromsp
+        perm = np.asarray(symmetric_rcm(_fromsp(A)))
+        A = A[perm][:, perm].tocsr()
+    else:
+        perm = np.arange(n)
+
+    ndev = int(mesh.devices.size)
+    n_loc = -(-n // ndev)
+    n_pad = n_loc * ndev
+    W = int(np.diff(A.indptr).max()) if n else 1
+    np_dtype = jnp.zeros((), dtype).dtype
+
+    sh = NamedSharding(mesh, P("rows", None))
+    shards = []
+    for d in range(ndev):
+        r0, r1 = d * n_loc, min((d + 1) * n_loc, n)
+        cols = np.zeros((n_loc, W), np.int32)
+        vals = np.zeros((n_loc, W), np_dtype)
+        ok = np.zeros((n_loc, W), bool)
+        for i, row in enumerate(range(r0, r1)):
+            lo, hi = A.indptr[row], A.indptr[row + 1]
+            k = hi - lo
+            cols[i, :k] = A.indices[lo:hi]
+            vals[i, :k] = A.data[lo:hi]
+            ok[i, :k] = True
+        if r1 - r0 < n_loc:          # identity-pad rows beyond n
+            pad_rows = np.arange(r0 + (r1 - r0), r0 + n_loc)
+            cols[r1 - r0:, 0] = pad_rows
+            vals[r1 - r0:, 0] = 1
+            ok[r1 - r0:, 0] = True
+        shards.append((cols, vals, ok))
+
+    def _assemble(i, dt):
+        return jax.make_array_from_single_device_arrays(
+            (n_pad, W), sh,
+            [jax.device_put(np.asarray(s[i], dt), dev)
+             for s, dev in zip(shards, mesh.devices.ravel())])
+
+    return (_assemble(0, np.int32), _assemble(1, np_dtype),
+            _assemble(2, bool), n_loc, perm)
+
+
 # --------------------------------------------------------------------------
 # the sharded setup driver
 # --------------------------------------------------------------------------

@@ -243,6 +243,26 @@ def setup_cg(level, A, opts):
     return ("krylov_cg", {"maxiter": int(opts.get("maxiter", 5))}, {})
 
 
+def _as_ell(A):
+    from pyamg_tpu.sparse.matrix import ELL, to_scipy, from_scipy
+    return A if isinstance(A, ELL) else from_scipy(to_scipy(A).tocsr())
+
+
+def setup_cgne(level, A, opts):
+    """Inner-CGNE smoother (reference ``smoothing.py:813``): A^H is
+    precomputed here so the jitted cycle only runs matvecs."""
+    from pyamg_tpu.ops.transpose import transpose
+    return ("krylov_cgne", {"maxiter": int(opts.get("maxiter", 5))},
+            {"AH": transpose(_as_ell(A), conjugate=True)})
+
+
+def setup_cgnr(level, A, opts):
+    """Inner-CGNR smoother (reference ``smoothing.py:823``)."""
+    from pyamg_tpu.ops.transpose import transpose
+    return ("krylov_cgnr", {"maxiter": int(opts.get("maxiter", 5))},
+            {"AH": transpose(_as_ell(A), conjugate=True)})
+
+
 _SETUPS = {
     None: setup_none, "none": setup_none,
     "jacobi": setup_jacobi,
@@ -263,6 +283,8 @@ _SETUPS = {
     "schwarz": setup_schwarz,
     "gmres": setup_gmres,
     "cg": setup_cg,
+    "cgne": setup_cgne,
+    "cgnr": setup_cgnr,
 }
 
 # smoothers whose error propagator is symmetric (for CG-safety detection,
@@ -406,4 +428,10 @@ def apply_smoother(kind, sopts, params, A, x, b):
     if kind == "krylov_gmres":
         from pyamg_tpu.krylov.inner import inner_gmres
         return inner_gmres(A, x, b, sopts["maxiter"])
+    if kind == "krylov_cgne":
+        from pyamg_tpu.krylov.inner import inner_cgne
+        return inner_cgne(A, params["AH"], x, b, sopts["maxiter"])
+    if kind == "krylov_cgnr":
+        from pyamg_tpu.krylov.inner import inner_cgnr
+        return inner_cgnr(A, params["AH"], x, b, sopts["maxiter"])
     raise ValueError(f"unknown smoother kind {kind!r}")

@@ -49,6 +49,124 @@ def _apply_distance_filter(cols, vals, valid, epsilon):
     return xp.where(keep, vals, 0), keep
 
 
+def _shiftv(v, o, n):
+    """w[i] = v[i + o] with zero fill (host numpy)."""
+    w = np.zeros_like(v)
+    if o == 0:
+        return v.copy()
+    if o > 0:
+        w[:n - o] = v[o:n]
+    else:
+        w[-o:n] = v[:n + o]
+    return w
+
+
+def _evolution_dia_fast(A, Bvec, epsilon, k, symmetrize_measure):
+    """Banded fast path: for grid-stencil operators every step of the
+    measure — the transposed propagator, its masked powers, the
+    NullDim==1 measure, the distance filter, symmetrization and row
+    scaling — is a shifted elementwise op on the (ndiag, n) DIA data.
+    No SpGEMM, no per-row sorts (measured 2.2 s -> ~0.5 s at 512^2).
+    Returns the strength ELL, or None when A isn't band-suitable."""
+    from pyamg_tpu.sparse.matrix import dia_from_ell
+    if 2 ** int(np.log2(k)) != k:
+        return None
+    Ad = dia_from_ell(A)
+    if Ad is None:
+        return None
+    offs = [int(o) for o in Ad.offsets]
+    if 0 not in offs or set(offs) != {-o for o in offs}:
+        return None
+    n = A.shape[0]
+    data = np.asarray(Ad.data)[:, :n]
+    nd = len(offs)
+    d0 = offs.index(0)
+    oidx = {o: d for d, o in enumerate(offs)}
+
+    D = data[d0]
+    Dinv = np.where(D != 0, 1.0 / np.where(D == 0, 1, D), 1.0)
+    from pyamg_tpu.util.linalg import approximate_spectral_radius
+    rho = approximate_spectral_radius(scale_rows(A, Dinv))
+
+    # S = (I - 1/rho D^-1 A)^T in band form: T_o[i] = M_{-o}[i + o]
+    M = -(1.0 / rho) * (data * Dinv[None, :])
+    M[d0] += 1.0
+    S = np.stack([_shiftv(M[oidx[-o]], o, n) for o in offs])
+    Soffs = list(offs)
+
+    def band_square(Bd, Bo, mask_offs):
+        """C = Bd @ Bd restricted to offsets ``mask_offs`` (or full)."""
+        outo = sorted({o1 + o2 for o1 in Bo for o2 in Bo}
+                      if mask_offs is None else mask_offs)
+        out = {o: np.zeros(n, Bd.dtype) for o in outo}
+        bo = {o: d for d, o in enumerate(Bo)}
+        for o1 in Bo:
+            for o2 in Bo:
+                o = o1 + o2
+                if o not in out:
+                    continue
+                out[o] += Bd[bo[o1]] * _shiftv(Bd[bo[o2]], o1, n)
+        return np.stack([out[o] for o in outo]), outo
+
+    nsquare = int(np.log2(k))
+    for s in range(nsquare):
+        last = s == nsquare - 1
+        S, Soffs = band_square(S, Soffs, offs if last else None)
+    # (k == 1: S restricted to the band is S itself)
+    At = S                                    # (nd, n) on offs
+
+    # out-of-grid band positions (i + o outside [0, n)) are not entries
+    inb = np.stack([(np.arange(n) + o >= 0) & (np.arange(n) + o < n)
+                    for o in offs])
+    At = np.where(inb, At, 0)
+
+    # NullDim == 1 measure (same arithmetic as the general path)
+    Bv = np.where(Bvec == 0, 1.0, Bvec)
+    DAdivB = At[d0] / Bv
+    vals = np.zeros_like(At)
+    for d, o in enumerate(offs):
+        z = At[d]
+        approx = DAdivB * _shiftv(Bv, o, n)
+        angle = (np.real(approx) * np.real(z) +
+                 np.imag(approx) * np.imag(z)) < 0
+        ratio = approx / np.where(z == 0, 1, z)
+        weak = np.abs(ratio) < 1e-4
+        v = np.abs(1.0 - ratio)
+        v = np.where(weak | angle | (z == 0), 0.0, v)
+        eps_floor = np.sqrt(np.finfo(float).eps)
+        vals[d] = np.where((v < eps_floor) & (v != 0), 1e-4, v)
+    vals = np.real(vals)
+
+    # distance filter: off-diagonals within epsilon of the row minimum
+    if epsilon != np.inf:
+        offd = vals.copy()
+        offd[d0] = 0
+        mn = np.min(np.where(offd != 0, offd, np.inf), axis=0)
+        keep = (offd != 0) & (offd <= epsilon * mn[None, :])
+        out = np.where(keep, offd, 0)
+        out[d0] = vals[d0]
+        vals = out
+
+    if symmetrize_measure:
+        vals = 0.5 * (vals + np.stack(
+            [_shiftv(vals[oidx[-o]], o, n) for o in offs]))
+    vals[d0] = 1.0                            # unit diagonal
+    vals = np.where(inb, vals, 0)
+
+    iv = np.where(vals != 0, 1.0 / np.where(vals == 0, 1, vals), 0.0)
+    rowmax = np.max(np.abs(iv), axis=0)
+    iv = iv / np.where(rowmax == 0, 1, rowmax)[None, :]
+
+    # band -> ELL on the nonzero pattern
+    rows = np.arange(n, dtype=np.int32)
+    cand_cols = np.stack([rows + o for o in offs], axis=1).astype(np.int32)
+    cand_vals = iv.T
+    cand_ok = inb.T & (cand_vals != 0)
+    cand_cols = np.where(cand_ok, cand_cols, 0)
+    return ell_dedup(cand_cols, np.where(cand_ok, cand_vals, 0),
+                     cand_ok, A.shape)
+
+
 def evolution_strength_of_connection(A, B=None, epsilon=4.0, k=2,
                                      proj_type="l2", block_flag=False,
                                      symmetrize_measure=True):
@@ -76,6 +194,15 @@ def evolution_strength_of_connection(A, B=None, epsilon=4.0, k=2,
             Bmat = Bmat[:, None]
     NullDim = Bmat.shape[1]
 
+    if (numPDEs == 1 and NullDim == 1 and xp is np
+            and proj_type in ("l2", "D_A")):
+        # NullDim==1 never uses proj_type (reference strength.py:738
+        # shortcut); banded operators take the DIA fast path
+        fast = _evolution_dia_fast(A, np.asarray(Bmat[:, 0]), epsilon, k,
+                                   symmetrize_measure)
+        if fast is not None:
+            return fast
+
     D = extract_diagonal(A)
     Dinv = xp.where(D != 0, 1.0 / xp.where(D == 0, 1, D), 1.0)
     DinvA = scale_rows(A, Dinv)
@@ -94,8 +221,12 @@ def evolution_strength_of_connection(A, B=None, epsilon=4.0, k=2,
     if numPDEs > 1:
         same_pde = (A.cols % numPDEs) == (rows % numPDEs)
         mask_valid = mask_valid & same_pde
-    mask = ell_dedup(A.cols, xp.where(mask_valid, 1.0, 0.0),
-                     mask_valid, A.shape)
+        mask = ell_dedup(A.cols, xp.where(mask_valid, 1.0, 0.0),
+                         mask_valid, A.shape)
+    else:
+        # A's pattern is already coalesced (ELL invariant) — reuse it
+        mask = ELL(A.cols, xp.where(mask_valid, 1.0, 0.0),
+                   A.row_nnz, A.shape)
 
     nsquare = int(np.log2(k))
     ninc = k - 2 ** nsquare

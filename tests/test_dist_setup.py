@@ -116,6 +116,65 @@ class TestDistSetup:
                                       maxiter=60)
         assert relres < 1e-8, (relres, it)
 
+    def test_dist_from_scipy_airfoil(self):
+        """General-matrix ingestion (SURVEY §7.3): a gallery .mat
+        (airfoil, unstructured mesh) row-partitions onto the 8-device
+        mesh via RCM ordering and the distributed SA setup + PCG solve
+        converge; the solution matches the operator to 1e-7."""
+        from pyamg_tpu.parallel.dist_setup import (dist_from_scipy,
+                                                   distributed_sa_setup)
+        from pyamg_tpu.parallel.partition import make_row_mesh
+        from pyamg_tpu.gallery import load_example
+        from pyamg_tpu.sparse.matrix import to_scipy
+
+        d = load_example("airfoil")
+        A = to_scipy(d["A"] if isinstance(d, dict) else d).tocsr()
+        n = A.shape[0]
+        mesh = make_row_mesh(8)
+        cols, vals, ok, n_loc, perm = dist_from_scipy(
+            A, mesh, dtype=jnp.float64)
+        hier = distributed_sa_setup(cols, vals, ok, n_loc, mesh,
+                                    coarsen_until=48)
+        b = np.zeros(cols.shape[0])
+        rng = np.random.default_rng(5)
+        b_orig = rng.standard_normal(n)
+        b[:n] = b_orig[perm]            # internal ordering
+        x, relres, it = hier.solve_cg(jnp.asarray(b), tol=1e-8,
+                                      maxiter=80)
+        assert relres < 1e-8, (relres, it)
+        x_orig = np.empty(n)
+        x_orig[perm] = np.asarray(x)[:n]
+        true = np.linalg.norm(b_orig - A @ x_orig) / np.linalg.norm(b_orig)
+        assert true < 1e-7, true
+
+    def test_dist_from_scipy_anisotropic(self):
+        """Second non-stencil-path operator: rotated anisotropic
+        diffusion fed through the general CSR ingestion (no
+        dist_stencil_grid), solved on the 8-device mesh."""
+        from pyamg_tpu.parallel.dist_setup import (dist_from_scipy,
+                                                   distributed_sa_setup)
+        from pyamg_tpu.parallel.partition import make_row_mesh
+        from pyamg_tpu.gallery import stencil_grid, diffusion_stencil_2d
+
+        st = np.asarray(diffusion_stencil_2d(epsilon=1e-2,
+                                             theta=np.pi / 6, type="FE"))
+        A = stencil_grid(st, (48, 48), format="csr")
+        n = A.shape[0]
+        mesh = make_row_mesh(8)
+        cols, vals, ok, n_loc, perm = dist_from_scipy(
+            A, mesh, dtype=jnp.float64, rcm=False)
+        hier = distributed_sa_setup(cols, vals, ok, n_loc, mesh,
+                                    coarsen_until=100)
+        b = np.zeros(cols.shape[0])
+        rng = np.random.default_rng(6)
+        b[:n] = rng.standard_normal(n)
+        x, relres, it = hier.solve_cg(jnp.asarray(b), tol=1e-8,
+                                      maxiter=80)
+        assert relres < 1e-8, (relres, it)
+        true = np.linalg.norm(b[:n] - A @ np.asarray(x)[:n]) \
+            / np.linalg.norm(b[:n])
+        assert true < 1e-7, true
+
     def test_dist_vs_host_convergence_quality(self):
         """Cross-shard aggregation vs the single-host hierarchy on the
         same operator with the same smoothing (damped-Jacobi nu=2, K=1
@@ -160,3 +219,40 @@ class TestDistSetup:
                      residuals=res)
             it_host = len(res) - 1
             assert it_dist <= 1.4 * it_host, (N, it_dist, it_host)
+
+
+class TestScaleModel:
+    def test_model_matches_built_hierarchy_shapes(self):
+        """The 10^8 memory model (parallel/scale_model.py) replays
+        distributed_sa_setup's static shape laws; pin it against the
+        ACTUAL array shapes/bytes of a built hierarchy so the
+        SCALE_MODEL.json projection stays honest."""
+        from pyamg_tpu.parallel.dist_setup import (distributed_sa_setup,
+                                                   _transfer_margin)
+        from pyamg_tpu.parallel.scale_model import (LevelModel, _caps,
+                                                    _SLOT)
+
+        mesh, cols, vals, ok, n_loc = _poisson_sharded(
+            192, dtype=jnp.float32)
+        hier = distributed_sa_setup(cols, vals, ok, n_loc, mesh,
+                                    coarsen_until=300)
+        ndev = 8
+        for i, L in enumerate(hier.levels[:-1]):
+            Lc = hier.levels[i + 1]
+            wp, wr, wac = _caps(L.cols.shape[1])
+            m = LevelModel(n_loc=L.n_loc, W=L.cols.shape[1], wp=wp,
+                           wr=wr, c_cap=Lc.n_loc, g=L.g,
+                           gP=_transfer_margin(L.g, L.n_loc, ndev))
+            # shape laws
+            assert L.p_cols.shape == (ndev * L.n_loc, wp), i
+            assert L.r_cols.shape == (ndev * Lc.n_loc, wr), i
+            assert Lc.cols.shape[1] == wac, i
+            assert L.gp == m.gP, i
+            # steady-state bytes: model == sum of actual array sizes
+            actual = (L.cols.nbytes + L.vals.nbytes + L.ok.nbytes +
+                      L.Dinv.nbytes +
+                      L.p_cols.nbytes + L.p_vals.nbytes + L.p_ok.nbytes +
+                      (L.r_cols.nbytes + L.r_vals.nbytes +
+                       L.r_ok.nbytes)) // ndev
+            assert actual == m.operator_bytes(), (i, actual,
+                                                  m.operator_bytes())

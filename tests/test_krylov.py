@@ -435,3 +435,72 @@ class TestHouseholderParity:
                                          tol=1e-8, maxiter=30)
         np.testing.assert_allclose(np.asarray(x1), np.asarray(x2),
                                    rtol=1e-6, atol=1e-9)
+
+
+class TestStoppingCriteria:
+    """Reference ``krylov/tests/test_krylov.py:17-80``: every method
+    converges (info == 0, true residual ~ 0) under each stopping
+    criterion it admits, for dense and sparse operators."""
+
+    def _cases(self):
+        rng = np.random.RandomState(9062883)
+        n = 10
+        A = rng.rand(n, n)
+        b = rng.rand(n)
+        x0 = rng.rand(n)
+        A = 0.5 * (A + A.T) + n * np.eye(n)
+        return [
+            {"A": jnp.asarray(A), "b": b, "x0": x0, "tol": 1e-8},
+            {"A": from_scipy(sp.csr_matrix(A)), "b": b, "x0": x0,
+             "tol": 1e-8},
+        ], A
+
+    @pytest.mark.parametrize("method,crits", [
+        ("cg", ("rr", "rr+", "MrMr", "rMr")),
+        ("bicgstab", ("rr", "rr+")),
+        ("cgne", ("rr", "rr+", "MrMr", "rMr")),
+        ("cgnr", ("rr", "rr+", "MrMr", "rMr")),
+        ("cr", ("rr", "rr+", "MrMr")),
+        ("steepest_descent", ("rr", "rr+", "MrMr", "rMr")),
+        ("minimal_residual", ("rr", "rr+", "MrMr", "rMr")),
+    ])
+    def test_stopping_criteria(self, method, crits):
+        cases, Ad = self._cases()
+        fn = getattr(krylov, method)
+        for criteria in crits:
+            for case in cases:
+                maxiter = 200 if method in ("steepest_descent",
+                                            "minimal_residual") else None
+                x1, info = fn(case["A"], case["b"], x0=case["x0"],
+                              tol=case["tol"], criteria=criteria,
+                              maxiter=maxiter)
+                assert info == 0, (method, criteria, info)
+                res = np.linalg.norm(case["b"] - Ad @ np.asarray(x1))
+                assert res < 5e-6, (method, criteria, res)
+
+    def test_invalid_criteria_raise(self):
+        cases, _ = self._cases()
+        with pytest.raises(ValueError):
+            krylov.cg(cases[1]["A"], cases[1]["b"], criteria="bogus")
+        with pytest.raises(ValueError):
+            krylov.bicgstab(cases[1]["A"], cases[1]["b"], criteria="rMr")
+
+
+class TestInnerKrylovSmoothers:
+    """cgne/cgnr as inner smoothers (reference smoothing.py:813-832)."""
+
+    @pytest.mark.parametrize("name", ["cgne", "cgnr", "cg", "gmres"])
+    def test_solver_with_inner_smoother(self, name):
+        from pyamg_tpu.aggregation import smoothed_aggregation_solver
+        A = poisson((24, 24))
+        ml = smoothed_aggregation_solver(
+            A, max_coarse=50,
+            presmoother=(name, {"maxiter": 3}),
+            postsmoother=(name, {"maxiter": 3}))
+        b = np.random.default_rng(4).standard_normal(A.shape[0])
+        res = []
+        x = ml.solve(b, tol=1e-8, maxiter=40, residuals=res)
+        from pyamg_tpu.sparse.matrix import to_scipy
+        rel = np.linalg.norm(b - to_scipy(A) @ np.asarray(x)) \
+            / np.linalg.norm(b)
+        assert rel < 1e-7, (name, rel, len(res))
