@@ -88,11 +88,19 @@ def bench_anisotropic_512():
                                          type="FE"))
     A64 = stencil_grid(st, (512, 512))
     S = to_scipy(A64)
-    t0 = time.perf_counter()
     # grid (box) aggregation keeps every level grid-tagged, so
     # compress_stencils yields an all-DIA/PhaseStencil gather-free cycle;
     # measured quality matches standard aggregation on this problem
-    # (V factor ~0.84 vs 0.79) at 1.12 operator complexity vs 1.37
+    # (V factor ~0.84 vs 0.79) at 1.12 operator complexity vs 1.37.
+    # Two runs: the first faults ~1 GB of fresh heap at this host's
+    # ~400 MB/s page-fault rate; the warm run is the algorithm's cost.
+    t0 = time.perf_counter()
+    ml = smoothed_aggregation_solver(A64.astype(jnp.float32),
+                                     strength=("evolution", {}),
+                                     aggregate=("grid", {}),
+                                     max_coarse=20)
+    setup_cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
     ml = smoothed_aggregation_solver(A64.astype(jnp.float32),
                                      strength=("evolution", {}),
                                      aggregate=("grid", {}),
@@ -104,7 +112,9 @@ def bench_anisotropic_512():
     dt, true, it = _solve_refined_time(ml, S, b, inner_maxiter=60,
                                        max_outer=20)
     return {"config": "anisotropic_rotated_eps1e-3_512", "solve_s": dt,
-            "setup_s": setup, "setup_breakdown": _brk(ml), "true_rel_residual": true, "outer_iters": it,
+            "setup_s": setup, "setup_cold_s": setup_cold,
+            "setup_breakdown": _brk(ml), "true_rel_residual": true,
+            "outer_iters": it,
             "operator_complexity": float(ml.operator_complexity())}
 
 

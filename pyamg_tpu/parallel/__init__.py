@@ -14,9 +14,11 @@ from pyamg_tpu.parallel.partition import (
     replicate)
 from pyamg_tpu.parallel.halo import HaloELL, build_halo
 from pyamg_tpu.parallel.dist_setup import (
-    distributed_sa_setup, dist_stencil_grid, DistHierarchy, DistLevel)
+    distributed_sa_setup, distributed_classical_setup, dist_stencil_grid,
+    dist_from_scipy, DistHierarchy, DistLevel)
 
 __all__ = ["make_row_mesh", "pad_matrix_rows", "shard_matrix",
            "shard_hierarchy", "replicate", "HaloELL", "build_halo",
-           "distributed_sa_setup", "dist_stencil_grid", "DistHierarchy",
+           "distributed_sa_setup", "distributed_classical_setup",
+           "dist_stencil_grid", "dist_from_scipy", "DistHierarchy",
            "DistLevel"]

@@ -251,28 +251,36 @@ def _nb_max_global(cols_g, strong, x, row0, g, ndev, fill=-1):
     return jnp.maximum(x, jnp.max(jnp.where(okg, gx, fill), axis=1))
 
 
-def _mis2_global(cols_g, strong, eligible, rows_g, row0, g, ndev,
-                 max_rounds=24):
-    """Luby distance-2 MIS on the GLOBAL strength graph: per round the
-    owner computes its rows' values and ring-exchanges them, so distance-2
-    maxima cross shard boundaries exactly (the two-phase halo idiom).
-    Deterministic global-id hash weights; returns the root mask."""
-    w0 = ((rows_g.astype(jnp.uint32) * jnp.uint32(2654435761)) >> 1)\
-        .astype(jnp.int32)
+def _mis_global(cols_g, strong, eligible, rows_g, row0, g, ndev,
+                dist=2, max_rounds=24, weights=None):
+    """Luby distance-``dist`` MIS on the GLOBAL strength graph: per
+    round the owner computes its rows' values and ring-exchanges them,
+    so the neighbourhood maxima cross shard boundaries exactly (the
+    two-phase halo idiom).  ``weights``: optional int32 priority (PMIS
+    uses strong-degree-scaled weights); defaults to a deterministic
+    global-id hash.  Returns the root mask."""
+    if weights is None:
+        w0 = ((rows_g.astype(jnp.uint32) * jnp.uint32(2654435761)) >> 1)\
+            .astype(jnp.int32)
+    else:
+        w0 = weights
 
     def nb_max(x):
         return _nb_max_global(cols_g, strong, x, row0, g, ndev)
 
+    def nb_max_k(x):
+        for _ in range(dist):
+            x = nb_max(x)
+        return x
+
     def round_(state):
         active, roots, it, done = state
         wa = jnp.where(active, w0, -1)
-        m1 = nb_max(wa)
-        m2 = nb_max(m1)
-        new_roots = active & (wa == m2) & (wa >= 0)
+        mk = nb_max_k(wa)
+        new_roots = active & (wa == mk) & (wa >= 0)
         roots2 = roots | new_roots
-        r1 = nb_max(jnp.where(roots2, 1, 0))
-        r2 = nb_max(r1)
-        active2 = active & (r2 < 1)
+        rk = nb_max_k(jnp.where(roots2, 1, 0))
+        active2 = active & (rk < 1)
         rem = lax.psum(jnp.sum(active2.astype(jnp.int32)), "rows")
         return (active2, roots2, it + 1, rem == 0)
 
@@ -283,6 +291,12 @@ def _mis2_global(cols_g, strong, eligible, rows_g, row0, g, ndev,
     st = (eligible, jnp.zeros_like(eligible), jnp.int32(0), rem0 == 0)
     _, roots, _, _ = lax.while_loop(cond, round_, st)
     return roots
+
+
+def _mis2_global(cols_g, strong, eligible, rows_g, row0, g, ndev,
+                 max_rounds=24):
+    return _mis_global(cols_g, strong, eligible, rows_g, row0, g, ndev,
+                       dist=2, max_rounds=max_rounds)
 
 
 def _propagate_global(cols_g, strong, w, lab, eligible, row0, g, ndev,
@@ -722,6 +736,208 @@ def distributed_sa_setup(cols, vals, ok, n_loc, mesh: Mesh,
     return DistHierarchy(levels=levels, mesh=mesh,
                          coarse_dense=coarse_pinv, coarse_n=nc,
                          diagnostics=diagnostics)
+
+
+def distributed_classical_setup(cols, vals, ok, n_loc, mesh: Mesh,
+                                theta=0.25, omega=4.0 / 5.0,
+                                max_levels=10, coarsen_until=4096,
+                                coarse_ratio=2, wr_cap=48, wac_cap=32,
+                                rho_iters=12, seed=0):
+    """Distributed classical (Ruge-Stuben-style) AMG setup: classical
+    strength -> PMIS C/F splitting (distance-1 global Luby MIS with
+    strong-degree weights) -> direct interpolation -> R = P^T ->
+    Galerkin, all per-level inside one shard_map.
+
+    Reference semantics per component: classical SOC
+    (``ruge_stuben.h:64``), PMIS (``split.py:155`` /
+    ``graph.h:140``), direct interpolation weights
+    (``ruge_stuben.h:777-895`` pass1/pass2 formula).  The sequential RS
+    coarsening itself has no scalable analogue (SURVEY §2.2) — PMIS is
+    the parallel splitting the reference itself recommends at scale.
+    Returns a :class:`DistHierarchy` (same damped-Jacobi-smoothed solve
+    phase as the SA variant).
+    """
+    ndev = int(mesh.devices.size)
+    levels: List[DistLevel] = []
+    diagnostics = {"dropped": [], "nagg": [], "margins": []}
+
+    lvl_cols, lvl_vals, lvl_ok, lvl_nloc = cols, vals, ok, n_loc
+    for lvl_i in range(max_levels):
+        n_glob = lvl_cols.shape[0]
+        g = _margin_of(lvl_cols, lvl_ok, lvl_nloc, mesh)
+        diagnostics["margins"].append(g)
+        if n_glob <= coarsen_until or g >= lvl_nloc \
+                or lvl_nloc // coarse_ratio < 1:
+            break
+        c_cap = max(lvl_nloc // coarse_ratio, 1)
+
+        rho = _power_rho(lvl_cols, lvl_vals, lvl_ok, lvl_nloc, g, mesh,
+                         iters=rho_iters, seed=seed + lvl_i)
+        out = _classical_level_step(lvl_cols, lvl_vals, lvl_ok, lvl_nloc,
+                                    g, c_cap, mesh, float(theta), wr_cap,
+                                    wac_cap, seed + lvl_i)
+        (p_cols, p_vals, p_ok, r_cols, r_vals, r_ok,
+         ac_cols, ac_vals, ac_ok, Dinv, ncp, dropped) = out
+
+        gp = min(2 * g, ndev * lvl_nloc)
+        L = DistLevel(cols=lvl_cols, vals=lvl_vals, ok=lvl_ok,
+                      n_loc=lvl_nloc, g=g, Dinv=Dinv,
+                      p_cols=p_cols, p_vals=p_vals, p_ok=p_ok,
+                      r_cols=r_cols, r_vals=r_vals, r_ok=r_ok,
+                      omega=float(omega / max(rho, 1e-30)),
+                      gp=gp,
+                      gcp=(-(-gp // lvl_nloc)) * c_cap)
+        levels.append(L)
+        diagnostics["nagg"].append(int(np.sum(np.asarray(ncp))))
+        diagnostics["dropped"].append(int(np.sum(np.asarray(dropped))))
+        lvl_cols, lvl_vals, lvl_ok, lvl_nloc = \
+            ac_cols, ac_vals, ac_ok, c_cap
+
+    g = diagnostics["margins"][-1] if len(levels) == 0 else \
+        _margin_of(lvl_cols, lvl_ok, lvl_nloc, mesh)
+    rho = _power_rho(lvl_cols, lvl_vals, lvl_ok, lvl_nloc, g, mesh,
+                     iters=rho_iters, seed=seed + 99)
+    Dinv_c = _dinv_sharded(lvl_cols, lvl_vals, lvl_ok, lvl_nloc, mesh)
+    levels.append(DistLevel(cols=lvl_cols, vals=lvl_vals, ok=lvl_ok,
+                            n_loc=lvl_nloc, g=g, Dinv=Dinv_c,
+                            omega=float(1.0 / max(rho, 1e-30))))
+    nc = lvl_cols.shape[0]
+    dense = _densify_replicated(lvl_cols, lvl_vals, lvl_ok, nc)
+    return DistHierarchy(levels=levels, mesh=mesh,
+                         coarse_dense=jnp.linalg.pinv(dense),
+                         coarse_n=nc, diagnostics=diagnostics)
+
+
+@partial(jax.jit, static_argnames=("n_loc", "g", "c_cap", "mesh", "theta",
+                                   "wr_cap", "wac_cap", "seed"))
+def _classical_level_step(cols, vals, ok, n_loc, g, c_cap, mesh, theta,
+                          wr_cap, wac_cap, seed):
+    """One sharded classical level: classical SOC -> PMIS -> direct
+    interpolation -> R = P^T -> Ac."""
+    ndev = int(mesh.devices.size)
+    gP = min(2 * g, ndev * n_loc)
+    W = int(cols.shape[1])
+    wp_eff = W                    # P rows: strong C-neighbours (<= W)
+    wr_eff = max(wr_cap, 2 * W)
+    wac_eff = max(wac_cap, W + 8)
+
+    def body(cols_b, vals_b, ok_b):
+        dev = lax.axis_index("rows")
+        row0 = dev * n_loc
+        n = cols_b.shape[0]
+        rows_g = row0 + jnp.arange(n, dtype=jnp.int32)
+
+        hit = ok_b & (cols_b == rows_g[:, None])
+        diag = jnp.sum(jnp.where(hit, vals_b, 0), axis=1)
+        dinv = jnp.where(diag != 0, 1.0 / diag, 0.0)
+
+        # --- classical strength, 'abs' norm (ruge_stuben.h:64): row-
+        # local, no exchange
+        offd = ok_b & ~hit
+        mag = jnp.abs(vals_b)
+        mx = jnp.max(jnp.where(offd, mag, 0), axis=1)
+        strong = offd & (mag >= theta * mx[:, None]) & (vals_b != 0)
+
+        # --- PMIS C/F splitting: distance-1 MIS with strong-degree
+        # weights (split.py:388 lambda = degree + rand)
+        eligible = jnp.any(strong, axis=1)
+        deg = jnp.sum(strong.astype(jnp.int32), axis=1)
+        hashr = ((rows_g.astype(jnp.uint32) * jnp.uint32(2654435761))
+                 >> 17).astype(jnp.int32)      # 15-bit tie-break
+        wts = deg * jnp.int32(1 << 15) + hashr
+        Cpt = _mis_global(cols_b, strong, eligible, rows_g, row0, g,
+                          ndev, dist=1, weights=wts)
+        ncp = jnp.sum(Cpt.astype(jnp.int32))
+        overflow = jnp.maximum(ncp - c_cap, 0)
+        rank = jnp.cumsum(Cpt.astype(jnp.int32)) - 1
+        cid = jnp.where(Cpt, dev * c_cap + jnp.minimum(rank, c_cap - 1),
+                        jnp.int32(-1))
+
+        # --- direct interpolation (ruge_stuben.h:777-895): weights from
+        # A's row restricted to strong C-neighbours; neighbour splitting
+        # and coarse ids arrive via one margin exchange
+        cid_ext = _ext_rows(cid, g, ndev)
+        cj, okj = _gather_ext(cid_ext, cols_b, row0 - g, strong)
+        isC = okj & (cj >= 0)                 # strong C-neighbour slots
+        a = vals_b
+        neg = a < 0
+        ssn = jnp.sum(jnp.where(isC & neg, a, 0), axis=1)
+        ssp = jnp.sum(jnp.where(isC & ~neg, a, 0), axis=1)
+        san = jnp.sum(jnp.where(offd & neg, a, 0), axis=1)
+        sap = jnp.sum(jnp.where(offd & ~neg, a, 0), axis=1)
+        no_sp = ssp == 0
+        no_sn = ssn == 0
+        diag_eff = diag + jnp.where(no_sp, sap, 0) \
+            + jnp.where(no_sn, san, 0)
+        alpha = jnp.where(no_sn, 0, san / jnp.where(no_sn, 1, ssn))
+        beta = jnp.where(no_sp, 0, sap / jnp.where(no_sp, 1, ssp))
+        dsafe = jnp.where(diag_eff == 0, 1, diag_eff)
+        coeff = jnp.where(neg, -alpha[:, None] / dsafe[:, None],
+                          -beta[:, None] / dsafe[:, None])
+        p_vals = jnp.where(isC, coeff * a, 0)
+        # C rows: identity entry at own coarse id
+        p_vals = jnp.where(Cpt[:, None],
+                           jnp.zeros_like(p_vals), p_vals)
+        p_cols = jnp.where(isC, cj, 0)
+        p_ok = isC & ~Cpt[:, None]
+        own = jnp.where(Cpt, cid, 0)
+        p_cols = p_cols.at[:, 0].set(
+            jnp.where(Cpt, own, p_cols[:, 0]))
+        p_vals = p_vals.at[:, 0].set(
+            jnp.where(Cpt, jnp.ones((), vals_b.dtype), p_vals[:, 0]))
+        p_ok = p_ok.at[:, 0].set(jnp.where(Cpt, True, p_ok[:, 0]))
+        pc, pv, prn = dedup_rows(p_cols, p_vals, p_ok, ndev * c_cap)
+        kk = jnp.arange(pc.shape[1], dtype=jnp.int32)[None, :]
+        p_okf = kk < prn[:, None]
+        p_cols, p_vals, p_ok, dropped_p = _truncate_by_mag(
+            pc, pv, p_okf, wp_eff)
+
+        # --- R = P^T, Ac = R (A P): same machinery as the SA step
+        p_cols_ext = _ext_rows(p_cols, gP, ndev)
+        p_vals_ext = _ext_rows(p_vals, gP, ndev)
+        p_ok_ext = _ext_rows(p_ok, gP, ndev)
+        ap_c, ap_v, ap_ok, dropped_ap = _spgemm_shard(
+            cols_b, vals_b, ok_b, p_cols_ext, p_vals_ext, p_ok_ext,
+            row0 - gP, ndev * c_cap, wac_eff)
+        r_cols, r_vals, r_ok, dropped_r = _transpose_shard(
+            p_cols_ext, p_vals_ext, p_ok_ext, dev * c_cap, c_cap, wr_eff)
+        ap_c_ext = _ext_rows(ap_c, gP, ndev)
+        ap_v_ext = _ext_rows(ap_v, gP, ndev)
+        ap_ok_ext = _ext_rows(ap_ok, gP, ndev)
+        ac_c, ac_v, ac_ok, dropped_ac = _spgemm_shard(
+            r_cols, r_vals, r_ok, ap_c_ext, ap_v_ext, ap_ok_ext,
+            0, ndev * c_cap, wac_eff)
+        slot = jnp.arange(c_cap, dtype=jnp.int32)
+        used = slot < jnp.minimum(ncp, c_cap)
+        own_s = dev * c_cap + slot
+        ac_c = jnp.where(used[:, None], ac_c,
+                         jnp.concatenate([own_s[:, None],
+                                          jnp.zeros((c_cap,
+                                                     ac_c.shape[1] - 1),
+                                                    jnp.int32)], axis=1))
+        ident_v = jnp.concatenate(
+            [jnp.ones((c_cap, 1), ac_v.dtype),
+             jnp.zeros((c_cap, ac_v.shape[1] - 1), ac_v.dtype)], axis=1)
+        ac_v = jnp.where(used[:, None], ac_v, ident_v)
+        ident_ok = jnp.concatenate(
+            [jnp.ones((c_cap, 1), bool),
+             jnp.zeros((c_cap, ac_ok.shape[1] - 1), bool)], axis=1)
+        ac_ok = jnp.where(used[:, None], ac_ok, ident_ok)
+
+        dropped = (overflow + dropped_p + dropped_r + dropped_ap +
+                   dropped_ac)[None]
+        return (p_cols, p_vals, p_ok, r_cols, r_vals, r_ok,
+                ac_c, ac_v, ac_ok, dinv, ncp[None],
+                dropped.astype(jnp.int32))
+
+    rowspec2 = P("rows", None)
+    f = shard_map(body, mesh=mesh,
+                  in_specs=(rowspec2, rowspec2, rowspec2),
+                  out_specs=(rowspec2, rowspec2, rowspec2,
+                             rowspec2, rowspec2, rowspec2,
+                             rowspec2, rowspec2, rowspec2,
+                             P("rows"), P("rows"), P("rows")))
+    return f(cols, vals, ok)
 
 
 def _dinv_sharded(cols, vals, ok, n_loc, mesh):

@@ -221,6 +221,67 @@ class TestDistSetup:
             assert it_dist <= 1.4 * it_host, (N, it_dist, it_host)
 
 
+class TestDistClassical:
+    def test_classical_pmis_direct_converges(self):
+        """Distributed classical AMG (classical SOC -> global PMIS ->
+        direct interpolation -> Galerkin): converges on 2D Poisson with
+        iteration counts flat in depth (17 @ 40^2 / 2 sharded levels,
+        18 @ 96^2 / 3) and no dropped entries."""
+        from pyamg_tpu.parallel.dist_setup import \
+            distributed_classical_setup
+        for N, cu, cap in [(40, 64, 25), (96, 300, 25)]:
+            mesh, cols, vals, ok, n_loc = _poisson_sharded(N)
+            hier = distributed_classical_setup(cols, vals, ok, n_loc,
+                                               mesh, coarsen_until=cu)
+            assert sum(hier.diagnostics["dropped"]) == 0
+            n = N * N
+            b = np.random.default_rng(1).standard_normal(cols.shape[0])
+            b[n:] = 0.0
+            x, relres, it = hier.solve_cg(jnp.asarray(b), tol=1e-8,
+                                          maxiter=60)
+            assert relres < 1e-8, (N, relres, it)
+            assert it <= cap, (N, it)
+            L0 = hier.levels[0]
+            S = _tosp(L0.cols, L0.vals, L0.ok, L0.n)[:n, :n]
+            true = np.linalg.norm(b[:n] - S @ np.asarray(x)[:n]) \
+                / np.linalg.norm(b)
+            assert true < 1e-7
+
+    def test_classical_r_equals_pt(self):
+        """Classical hierarchy keeps R = P^T and C-point rows of P are
+        identity columns (direct-interpolation invariant)."""
+        from pyamg_tpu.parallel.dist_setup import \
+            distributed_classical_setup
+        mesh, cols, vals, ok, n_loc = _poisson_sharded(40)
+        hier = distributed_classical_setup(cols, vals, ok, n_loc, mesh,
+                                           coarsen_until=64)
+        L0, L1 = hier.levels[0], hier.levels[1]
+        n, nc, c_cap, gp = L0.n, L1.n, L1.n_loc, L0.gp
+        P = _tosp(L0.p_cols, L0.p_vals, L0.p_ok, nc)
+        rc = np.asarray(L0.r_cols)
+        rv = np.asarray(L0.r_vals)
+        rok = np.asarray(L0.r_ok)
+        rows_g, cols_g, vals_g = [], [], []
+        for d in range(8):
+            blk = slice(d * c_cap, (d + 1) * c_cap)
+            glob = rc[blk] + d * n_loc - gp
+            m = rok[blk] & (glob >= 0) & (glob < n)
+            ridx = np.repeat(np.arange(d * c_cap, (d + 1) * c_cap),
+                             rc.shape[1]).reshape(c_cap, -1)
+            rows_g.append(ridx[m])
+            cols_g.append(glob[m])
+            vals_g.append(rv[blk][m])
+        R = sp.csr_matrix((np.concatenate(vals_g),
+                           (np.concatenate(rows_g),
+                            np.concatenate(cols_g))), shape=(nc, n))
+        assert abs(R - P.T).max() == 0
+        # every C point interpolates itself with weight exactly 1
+        colsum = np.asarray(abs(P).sum(axis=0)).ravel()
+        used = colsum != 0
+        ones = (P.toarray() == 1.0).sum(axis=0)
+        assert (ones[used] >= 1).all()
+
+
 class TestScaleModel:
     def test_model_matches_built_hierarchy_shapes(self):
         """The 10^8 memory model (parallel/scale_model.py) replays
