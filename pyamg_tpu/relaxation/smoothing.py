@@ -94,15 +94,23 @@ def setup_gauss_seidel(level, A, opts):
                 {"iterations": iterations, "sweep": sweep, "ncolors": nc},
                 {"colors": colors, "Dinv": pinv_array(
                     extract_block_diagonal(A)), "omega": 1.0})
+    # omega is a STATIC hyperparameter (sopts, not params): keeping it
+    # out of the traced pytree lets the sweep collapse consecutive
+    # same-color passes when omega == 1
     return ("gauss_seidel",
-            {"iterations": iterations, "sweep": sweep, "ncolors": nc},
-            {"colors": colors, "Dinv": _dinv(A), "omega": 1.0})
+            {"iterations": iterations, "sweep": sweep, "ncolors": nc,
+             "omega": 1.0},
+            {"colors": colors, "Dinv": _dinv(A)})
 
 
 def setup_sor(level, A, opts):
     kind, sopts, params = setup_gauss_seidel(level, A, opts)
-    params = dict(params)
-    params["omega"] = float(opts.get("omega", 1.0))
+    if kind == "gauss_seidel":
+        sopts = dict(sopts)
+        sopts["omega"] = float(opts.get("omega", 1.0))
+    else:
+        params = dict(params)
+        params["omega"] = float(opts.get("omega", 1.0))
     return (kind, sopts, params)
 
 
@@ -363,7 +371,9 @@ def apply_smoother(kind, sopts, params, A, x, b):
         return rx.gauss_seidel(A, x, b, iterations=sopts["iterations"],
                                sweep=sopts["sweep"], colors=params["colors"],
                                ncolors=sopts["ncolors"],
-                               Dinv=params["Dinv"], omega=params["omega"])
+                               Dinv=params["Dinv"],
+                               omega=sopts.get("omega",
+                                               params.get("omega", 1.0)))
     if kind == "block_gauss_seidel":
         return rx.block_gauss_seidel(A, x, b, iterations=sopts["iterations"],
                                      sweep=sopts["sweep"],
