@@ -243,6 +243,22 @@ def setup_schwarz(level, A, opts):
     return ("schwarz", {"iterations": iterations}, {"subdomain": subdomain})
 
 
+def setup_strength_based_schwarz(level, A, opts):
+    """Strength-based overlapping Schwarz (reference ``smoothing.py:531``):
+    subdomains come from the rows of the level's strength-of-connection
+    matrix ``C`` (kept with ``keep=True``); falls back to A's own
+    pattern when no C was kept — the reference does the same."""
+    C = getattr(level, "C", None)
+    if C is None:
+        return setup_schwarz(level, A, opts)
+    Ce = _scalar_pattern(C)
+    sub = np.asarray(Ce.cols).copy()
+    valid = np.asarray(Ce.valid_mask())
+    sub[~valid] = -1
+    return ("schwarz", {"iterations": int(opts.get("iterations", 1))},
+            {"subdomain": jnp.asarray(sub, jnp.int32)})
+
+
 def setup_gmres(level, A, opts):
     return ("krylov_gmres", {"maxiter": int(opts.get("maxiter", 5))}, {})
 
@@ -289,6 +305,7 @@ _SETUPS = {
     "cf_block_jacobi": setup_cf_block_jacobi,
     "fc_block_jacobi": setup_fc_block_jacobi,
     "schwarz": setup_schwarz,
+    "strength_based_schwarz": setup_strength_based_schwarz,
     "gmres": setup_gmres,
     "cg": setup_cg,
     "cgne": setup_cgne,

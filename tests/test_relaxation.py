@@ -264,3 +264,32 @@ class TestNE:
         x = rx.schwarz(Ad, jnp.zeros(12), jnp.asarray(b), sub)
         gold = np.linalg.solve(A.toarray(), b)
         np.testing.assert_allclose(np.asarray(x), gold, rtol=1e-10)
+
+
+def test_strength_based_schwarz_smoother():
+    """strength_based_schwarz (reference smoothing.py:531): subdomains
+    from the kept strength matrix C; solver converges on 2D Poisson."""
+    import jax.numpy as jnp
+    from pyamg_tpu.gallery import poisson
+    from pyamg_tpu.aggregation import smoothed_aggregation_solver
+    from pyamg_tpu.sparse.matrix import to_scipy
+    A = poisson((20, 20))
+    ml = smoothed_aggregation_solver(
+        A, max_coarse=30, keep=True,
+        presmoother=("strength_based_schwarz", {}),
+        postsmoother=("strength_based_schwarz", {}))
+    b = np.random.default_rng(3).standard_normal(A.shape[0])
+    res = []
+    x = ml.solve(b, tol=1e-8, maxiter=30, residuals=res)
+    rel = np.linalg.norm(b - to_scipy(A) @ np.asarray(x)) \
+        / np.linalg.norm(b)
+    assert rel < 1e-7, (rel, len(res))
+    # without keep=True it falls back to A's pattern and still works
+    ml2 = smoothed_aggregation_solver(
+        A, max_coarse=30,
+        presmoother=("strength_based_schwarz", {}),
+        postsmoother=("strength_based_schwarz", {}))
+    x2 = ml2.solve(b, tol=1e-8, maxiter=30)
+    rel2 = np.linalg.norm(b - to_scipy(A) @ np.asarray(x2)) \
+        / np.linalg.norm(b)
+    assert rel2 < 1e-7, rel2
