@@ -30,9 +30,27 @@ def dedup_rows_host(cols, vals, valid, n_cols: int):
     sent = np.int32(min(n_cols, 2 ** 31 - 1))
     c = np.where(valid, cols.astype(np.int32, copy=False), sent)
     v = np.where(valid, vals, 0)
+    # already-sorted fast path: when every real entry is STRICTLY
+    # greater than its left neighbour (so no duplicates to accumulate
+    # and the sentinel tail is a suffix), the input is its own answer —
+    # the common case: patterns derived from an already-sorted ELL
+    if W > 1 and not ((c[:, 1:] <= c[:, :-1]) &
+                      (c[:, 1:] < sent)).any():
+        live = c < sent
+        row_nnz = live.sum(axis=1, dtype=np.int32)
+        return (np.where(live, c, 0).astype(np.int32, copy=False),
+                np.where(live, v, 0), row_nnz)
     order = np.argsort(c, axis=1, kind="stable")
-    c = np.take_along_axis(c, order, axis=1)
-    v = np.take_along_axis(v, order, axis=1)
+    if n * W < 2 ** 31:
+        # flat int32 gathers: take_along_axis routes through int64
+        # fancy indexing (~7x slower on this host)
+        flat = np.arange(n, dtype=np.int32)[:, None] * np.int32(W) + \
+            order.astype(np.int32)
+        c = c.ravel()[flat]
+        v = v.reshape(-1)[flat]
+    else:
+        c = np.take_along_axis(c, order, axis=1)
+        v = np.take_along_axis(v, order, axis=1)
     head = np.concatenate(
         [np.ones((n, 1), bool), c[:, 1:] != c[:, :-1]], axis=1)
     head = head & (c < sent)

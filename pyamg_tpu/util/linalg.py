@@ -49,8 +49,39 @@ def _as_matvec(A):
 
 
 def _arnoldi(mv, n, dtype, maxiter, v0):
-    """Arnoldi with modified Gram-Schmidt; returns (H, V, breakdown)."""
+    """Arnoldi orthogonalization; returns (H, V, breakdown).
+
+    Host path: preallocated (maxiter+1, n) basis + BLAS CGS2 (two gemv
+    pairs per step — same H as modified Gram-Schmidt in exact
+    arithmetic, and the python-loop dot/axpy chain cost seconds per
+    call at n = 10^7).  Traced inputs keep the sequential MGS chain.
+    """
     xp = np if is_concrete(v0) else jnp
+    if xp is np:
+        v0 = np.asarray(v0)
+        V = np.empty((maxiter + 1, n), dtype=v0.dtype)
+        V[0] = v0 / float(norm(v0))
+        H = np.zeros((maxiter + 1, maxiter),
+                     dtype=np.complex128 if np.iscomplexobj(v0)
+                     else np.float64)
+        breakdown = False
+        k = maxiter
+        for j in range(maxiter):
+            w = np.asarray(mv(V[j]))
+            Vj = V[:j + 1]
+            h1 = Vj.conj() @ w
+            w = w - Vj.T @ h1
+            h2 = Vj.conj() @ w
+            w = w - Vj.T @ h2
+            H[:j + 1, j] = h1 + h2
+            beta = float(np.linalg.norm(w))
+            H[j + 1, j] = beta
+            if beta < 1e-14 * max(1.0, abs(H[j, j])):
+                breakdown = True
+                k = j + 1
+                break
+            V[j + 1] = w / beta
+        return H[:k + 1, :k], V[:k + 1], breakdown
     V = []
     v = v0 / norm(v0)
     V.append(v)
@@ -106,7 +137,10 @@ def approximate_spectral_radius(A, tol=0.01, maxiter=15, restart=5,
         mi = int(np.abs(evals).argmax())
         ev_max = float(np.abs(evals[mi]))
         err = abs(H[k, k - 1] * evects[-1, mi]) if H.shape[0] > k else 0.0
-        Vm = np.stack([np.asarray(v) for v in V[:k]], axis=1)
+        if isinstance(V, np.ndarray):
+            Vm = V[:k].T
+        else:
+            Vm = np.stack([np.asarray(v) for v in V[:k]], axis=1)
         vec = Vm @ np.asarray(evects[:, mi], dtype=Vm.dtype)
         if breakdown or (ev_max > 0 and err / ev_max < tol):
             break
