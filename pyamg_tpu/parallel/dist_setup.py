@@ -338,6 +338,9 @@ class DistLevel:
     r_vals: jax.Array = None
     r_ok: jax.Array = None
     omega: float = None        # damped-Jacobi weight (omega/rho folded in)
+    cheb: jax.Array = None     # Chebyshev coefficients (descending, on
+                               # [rho/30, 1.1 rho]); when set the solve
+                               # smoother is the polynomial sweep
     gp: int = 0                # transfer margin: R cols index the
                                # [prev_gp | local | next_gp] extension
     gcp: int = 0               # extra coarse-vector margin for prolong
@@ -371,10 +374,23 @@ class DistHierarchy:
         def smooth(L, meta, x, b, sweeps):
             cols, vals, ok, Dinv = L["cols"], L["vals"], L["ok"], L["Dinv"]
             g = meta["g"]
+
+            def Amv(v):
+                v_ext = _ext_rows(v, g, mesh_n)
+                return _spmv_shard_overlap(vals, cols, ok, v, v_ext,
+                                           meta["base"], g)
+
+            if L.get("cheb") is not None:
+                # Chebyshev polynomial sweep (reference setup_chebyshev,
+                # smoothing.py:627): x += p(A)(b - A x), Horner
+                co = L["cheb"]
+                r = b - Amv(x)
+                h = co[0] * r
+                for i in range(1, co.shape[0]):
+                    h = co[i] * r + Amv(h)
+                return x + h
             for _ in range(sweeps):
-                x_ext = _ext_rows(x, g, mesh_n)
-                r = b - _spmv_shard_overlap(vals, cols, ok, x, x_ext,
-                                            meta["base"], g)
+                r = b - Amv(x)
                 x = x + meta["omega"] * Dinv * r
             return x
 
@@ -420,6 +436,8 @@ class DistHierarchy:
         for l, L in enumerate(self.levels):
             d = {"cols": L.cols, "vals": L.vals, "ok": L.ok,
                  "Dinv": L.Dinv}
+            if L.cheb is not None:
+                d["cheb"] = L.cheb
             if L.p_cols is not None:
                 d.update(p_cols=L.p_cols, p_vals=L.p_vals, p_ok=L.p_ok,
                          r_cols=L.r_cols, r_vals=L.r_vals, r_ok=L.r_ok)
@@ -487,7 +505,8 @@ class DistHierarchy:
 
         specs_in = []
         for d in arrays:
-            specs_in.append({k: P("rows", *([None] * (v.ndim - 1)))
+            specs_in.append({k: (P() if k == "cheb" else
+                                 P("rows", *([None] * (v.ndim - 1))))
                              for k, v in d.items()})
         f = shard_map(body, mesh=mesh,
                       in_specs=(P("rows"),) + tuple(specs_in),
@@ -663,7 +682,8 @@ def distributed_sa_setup(cols, vals, ok, n_loc, mesh: Mesh,
                          theta=0.0, omega=4.0 / 3.0, max_levels=10,
                          coarsen_until=4096, coarse_ratio=4,
                          wp_cap=12, wr_cap=48, wac_cap=24,
-                         rho_iters=12, seed=0):
+                         rho_iters=12, seed=0,
+                         smoother="jacobi", cheb_degree=3):
     """Build an SA hierarchy from a sharded fine operator.
 
     Args:
@@ -705,13 +725,26 @@ def distributed_sa_setup(cols, vals, ok, n_loc, mesh: Mesh,
          ac_cols, ac_vals, ac_ok, Dinv, nagg, dropped) = out
 
         gp = _transfer_margin(g, lvl_nloc, ndev)
+        cheb = None
+        if smoother == "chebyshev":
+            # reference setup_chebyshev (smoothing.py:627): polynomial
+            # minimal on [rho(A)/30, 1.1 rho(A)], applied to b - A x
+            from pyamg_tpu.relaxation.chebyshev import \
+                chebyshev_polynomial_coefficients
+            rho_A = _power_rho(lvl_cols, lvl_vals, lvl_ok, lvl_nloc, g,
+                               mesh, iters=rho_iters,
+                               seed=seed + 37 + lvl_i, use_dinv=False)
+            co = -chebyshev_polynomial_coefficients(
+                rho_A / 30.0, 1.1 * rho_A, int(cheb_degree))[:-1]
+            cheb = jnp.asarray(co, lvl_vals.dtype)
         L = DistLevel(cols=lvl_cols, vals=lvl_vals, ok=lvl_ok,
                       n_loc=lvl_nloc, g=g, Dinv=Dinv,
                       p_cols=p_cols, p_vals=p_vals, p_ok=p_ok,
                       r_cols=r_cols, r_vals=r_vals, r_ok=r_ok,
                       omega=float(omega / max(rho, 1e-30)),
                       gp=gp,
-                      gcp=(-(-gp // lvl_nloc)) * c_cap)
+                      gcp=(-(-gp // lvl_nloc)) * c_cap,
+                      cheb=cheb)
         levels.append(L)
         diagnostics["nagg"].append(int(np.sum(np.asarray(nagg))))
         diagnostics["dropped"].append(int(np.sum(np.asarray(dropped))))
@@ -953,10 +986,17 @@ def _dinv_sharded(cols, vals, ok, n_loc, mesh):
     return jax.jit(f)(cols, vals, ok)
 
 
-def _power_rho(cols, vals, ok, n_loc, g, mesh, iters=8, seed=0):
-    """rho(D^-1 A) by normalized power iteration (distributed)."""
+def _power_rho(cols, vals, ok, n_loc, g, mesh, iters=8, seed=0,
+               use_dinv=True):
+    """rho(D^-1 A) (or rho(A) with ``use_dinv=False``) by normalized
+    power iteration (distributed)."""
     ndev = int(mesh.devices.size)
-    Dinv = _dinv_sharded(cols, vals, ok, n_loc, mesh)
+    if use_dinv:
+        Dinv = _dinv_sharded(cols, vals, ok, n_loc, mesh)
+    else:
+        Dinv = jnp.ones((cols.shape[0],), vals.dtype)
+        from jax.sharding import NamedSharding as _NS
+        Dinv = jax.device_put(Dinv, _NS(mesh, P("rows")))
 
     def body(cols_b, vals_b, ok_b, dinv_b):
         dev = lax.axis_index("rows")

@@ -317,3 +317,24 @@ class TestScaleModel:
                        L.r_ok.nbytes)) // ndev
             assert actual == m.operator_bytes(), (i, actual,
                                                   m.operator_bytes())
+
+
+class TestDistChebyshev:
+    def test_chebyshev_smoother_beats_jacobi(self):
+        """smoother='chebyshev' (reference setup_chebyshev semantics on
+        the sharded operator): converges at least as fast as the damped-
+        Jacobi default and within 1.25x of the single-host hierarchy."""
+        from pyamg_tpu.parallel.dist_setup import distributed_sa_setup
+        mesh, cols, vals, ok, n_loc = _poisson_sharded(96)
+        b = np.random.default_rng(0).standard_normal(cols.shape[0])
+        b[96 * 96:] = 0.0
+        its = {}
+        for sm in ("jacobi", "chebyshev"):
+            hier = distributed_sa_setup(cols, vals, ok, n_loc, mesh,
+                                        coarsen_until=300, smoother=sm)
+            x, relres, it = hier.solve_cg(jnp.asarray(b), tol=1e-8,
+                                          maxiter=60)
+            assert relres < 1e-8, (sm, relres)
+            its[sm] = int(it)
+        assert its["chebyshev"] <= its["jacobi"], its
+        assert its["chebyshev"] <= 12, its
