@@ -53,6 +53,14 @@ def main():
     solve_s = time.perf_counter() - t0
     factor = float(relres) ** (1.0 / max(int(it), 1))
 
+    # Chebyshev-smoothed variant (smoother option; same hierarchy shape)
+    hier_c = distributed_sa_setup(cols, vals, ok, n_loc, mesh,
+                                  coarsen_until=4096,
+                                  smoother="chebyshev")
+    xc, relres_c, it_c = hier_c.solve_cg(jnp.asarray(b), tol=1e-8,
+                                         maxiter=40)
+    factor_c = float(relres_c) ** (1.0 / max(int(it_c), 1))
+
     out = {
         "metric": "distributed_sa_setup_virtual_mesh",
         "what": ("full shard_map SA setup (cross-shard MIS-2 + label-"
@@ -72,6 +80,9 @@ def main():
         "solve_iters": int(it),
         "solve_relres": float(relres),
         "per_iteration_factor": round(factor, 3),
+        "chebyshev_solve_iters": int(it_c),
+        "chebyshev_solve_relres": float(relres_c),
+        "chebyshev_per_iteration_factor": round(factor_c, 3),
         "notes": [
             "round-5: aggregation is cross-shard (Luby MIS-2 + label "
             "propagation exchange margins each round); identity pad rows "

@@ -514,6 +514,115 @@ class DistHierarchy:
         x, relres, it = jax.jit(f)(b, *arrays)
         return x, float(relres), int(it)
 
+    def solve_fgmres(self, b, tol=1e-8, restart=20, max_outer=10, nu=2):
+        """Distributed V-cycle-preconditioned FGMRES (right
+        preconditioning), one jitted shard_map — the nonsymmetric solve
+        of BASELINE config 5 (advection-diffusion + AMG-GMRES at scale).
+
+        Arnoldi runs CGS2 with ``psum`` dots (each orthogonalization is
+        two small replicated matmuls per shard); the (restart+1, restart)
+        Hessenberg least-squares solves replicated per shard.  Returns
+        ``(x, relres, total_inner_iterations)``.
+        """
+        mesh = self.mesh
+        ndev = int(mesh.devices.size)
+        levels = self._shard_pytrees()
+        self._coarse_op = self.coarse_dense
+        arrays = [d for d, _ in levels]
+        metas = [m for _, m in levels]
+        R = int(restart)
+
+        def body(b_sh, *arrs):
+            dev = lax.axis_index("rows")
+            levs = []
+            for d0, m in zip(arrs, metas):
+                meta = dict(m)
+                meta["base"] = dev * m["n_loc"]
+                levs.append((d0, meta))
+
+            def Amv(x):
+                L, meta = levs[0]
+                x_ext = _ext_rows(x, meta["g"], ndev)
+                return _spmv_shard_overlap(L["vals"], L["cols"], L["ok"],
+                                           x, x_ext, meta["base"],
+                                           meta["g"])
+
+            def Mmv(r):
+                return self._vcycle_shard(levs, jnp.zeros_like(r), r,
+                                          nu=nu)
+
+            def pdot(u, v):
+                return lax.psum(jnp.vdot(u, v), "rows")
+
+            n_sh = b_sh.shape[0]
+            bnorm = jnp.sqrt(pdot(b_sh, b_sh))
+            bnorm = jnp.where(bnorm == 0, 1.0, bnorm)
+            dt = b_sh.dtype
+
+            def cycle(x):
+                r = b_sh - Amv(x)
+                beta = jnp.sqrt(pdot(r, r))
+                V = jnp.zeros((R + 1, n_sh), dt)
+                # mark the Z carry 'rows'-varying up front (the loop body
+                # writes varying rows into it; shard_map's vma checker
+                # requires carry types to match)
+                Z = lax.pcast(jnp.zeros((R, n_sh), dt), ("rows",),
+                              to="varying")
+                V = V.at[0].set(r / jnp.where(beta == 0, 1, beta))
+                H = jnp.zeros((R + 1, R), dt)
+
+                def arnoldi(j, st):
+                    V, Z, H = st
+                    zj = Mmv(V[j])
+                    Z = Z.at[j].set(zj)
+                    w = Amv(zj)
+                    mask = (jnp.arange(R + 1) <= j).astype(dt)
+                    h1 = lax.psum(V @ w, "rows") * mask
+                    w = w - V.T @ h1
+                    h2 = lax.psum(V @ w, "rows") * mask
+                    w = w - V.T @ h2
+                    wn = jnp.sqrt(pdot(w, w))
+                    H = H.at[:, j].set(h1 + h2)
+                    H = H.at[j + 1, j].set(wn)
+                    V = V.at[j + 1].set(
+                        w / jnp.where(wn == 0, 1, wn))
+                    return (V, Z, H)
+
+                V, Z, H = lax.fori_loop(0, R, arnoldi, (V, Z, H))
+                e1 = jnp.zeros((R + 1,), dt).at[0].set(beta)
+                # replicated small least squares via normal equations on
+                # the (R+1, R) Hessenberg (R is small)
+                y = jnp.linalg.solve(
+                    H.T @ H + 1e-30 * jnp.eye(R, dtype=dt), H.T @ e1)
+                x = x + Z.T @ y
+                r = b_sh - Amv(x)
+                return x, jnp.sqrt(pdot(r, r))
+
+            def outer(st):
+                x, nr, k = st
+                x, nr = cycle(x)
+                return (x, nr, k + 1)
+
+            def cond(st):
+                return (st[1] > tol * bnorm) & (st[2] < max_outer)
+
+            x0 = jnp.zeros_like(b_sh)
+            r0 = jnp.sqrt(pdot(b_sh, b_sh))
+            x, nr, k = lax.while_loop(cond, outer,
+                                      (x0, r0, jnp.int32(0)))
+            return x, nr / bnorm, k * R
+
+        specs_in = []
+        for d in arrays:
+            specs_in.append({k: (P() if k == "cheb" else
+                                 P("rows", *([None] * (v.ndim - 1))))
+                             for k, v in d.items()})
+        f = shard_map(body, mesh=mesh,
+                      in_specs=(P("rows"),) + tuple(specs_in),
+                      out_specs=(P("rows"), P(), P()))
+        x, relres, it = jax.jit(f)(b, *arrays)
+        return x, float(relres), int(it)
+
 
 # --------------------------------------------------------------------------
 # sharded gallery: per-shard construction of a stencil-grid operator

@@ -338,3 +338,34 @@ class TestDistChebyshev:
             its[sm] = int(it)
         assert its["chebyshev"] <= its["jacobi"], its
         assert its["chebyshev"] <= 12, its
+
+
+class TestDistFGMRES:
+    def test_advection_classical_fgmres(self):
+        """BASELINE config-5 shape at test scale: nonsymmetric
+        advection-diffusion ingested from a host CSR, distributed
+        classical AMG hierarchy, V-cycle-preconditioned FGMRES with
+        psum Arnoldi dots — converges to 1e-8 within two restart
+        cycles."""
+        from pyamg_tpu.gallery import advection_2d
+        from pyamg_tpu.parallel import (dist_from_scipy,
+                                        distributed_classical_setup,
+                                        make_row_mesh)
+        from pyamg_tpu.sparse.matrix import to_scipy
+        A, rhs = advection_2d((64, 64))
+        As = to_scipy(A).tocsr()
+        n = As.shape[0]
+        mesh = make_row_mesh(8)
+        cols, vals, ok, n_loc, perm = dist_from_scipy(
+            As, mesh, dtype=jnp.float64, rcm=False)
+        b = np.zeros(cols.shape[0])
+        b[:n] = np.asarray(rhs)
+        hier = distributed_classical_setup(cols, vals, ok, n_loc, mesh,
+                                           coarsen_until=120)
+        x, relres, it = hier.solve_fgmres(jnp.asarray(b), tol=1e-8,
+                                          restart=20, max_outer=8)
+        assert relres < 1e-8, (relres, it)
+        assert it <= 60, it
+        true = np.linalg.norm(b[:n] - As @ np.asarray(x)[:n]) \
+            / np.linalg.norm(b[:n])
+        assert true < 1e-7, true
