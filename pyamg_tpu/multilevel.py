@@ -538,18 +538,16 @@ class MultilevelSolver:
         if k == 0 or k >= len(self.levels) - 1:
             return self       # nothing to collapse / already coarsest
         Ak = self.levels[k].A
-        # densify + invert ON DEVICE from the sparse arrays: the sparse
-        # upload is KBs (vs ~n^2*4 bytes dense) and LU/inv is fast on chip
-        from pyamg_tpu.ops.dense import to_dense, inv_device
-        op = inv_device(Ak)
-        # A singular/semidefinite truncation level (Neumann-type problems,
-        # where the reference's coarse_grid_solver('pinv') is specifically
-        # robust) makes the LU inverse Inf/NaN or wildly inaccurate; check
-        # M @ op ~ I on device and fall back to an SVD pseudo-inverse.
-        M = to_dense(Ak)
-        n_k = M.shape[0]
-        err = jnp.abs(M @ op - jnp.eye(n_k, dtype=M.dtype)).max()
-        if (not bool(jnp.isfinite(op).all())) or float(err) > 1e-2:
+        # densify + invert + accuracy probe ON DEVICE in one compiled
+        # program: the sparse upload is KBs (vs ~n^2*4 bytes dense) and
+        # LU/inv is fast on chip; a singular/semidefinite truncation
+        # level (Neumann-type problems, where the reference's
+        # coarse_grid_solver('pinv') is specifically robust) makes the
+        # LU inverse Inf/NaN or wildly inaccurate — then fall back to an
+        # SVD pseudo-inverse.
+        from pyamg_tpu.ops.dense import inv_device_checked
+        op, err, M = inv_device_checked(Ak)
+        if (not bool(jnp.isfinite(err))) or float(err) > 1e-2:
             op = jnp.linalg.pinv(M, rcond=1e-6)
         self._collapsed_levels = self.levels[k:]
         self.levels = self.levels[:k + 1]

@@ -22,6 +22,19 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _finish(M, inv):
+    if not inv:
+        return M
+    if inv == "inv_checked":
+        # inverse + accuracy probe in ONE compiled program (separate
+        # densify/inv/check programs cost ~60 s of cold axon compiles)
+        op = jnp.linalg.inv(M)
+        n = M.shape[0]
+        err = jnp.abs(M @ op - jnp.eye(n, dtype=M.dtype)).max()
+        return op, err, M
+    return jnp.linalg.inv(M)
+
+
 @partial(jax.jit, static_argnums=(1, 2, 3))
 def _dense_dia(data, offsets, shape, inv):
     n, m = shape
@@ -33,7 +46,7 @@ def _dense_dia(data, offsets, shape, inv):
         ok = (cols >= 0) & (cols < m)
         M = M.at[rows, jnp.where(ok, cols, 0)].add(
             jnp.where(ok, data[d], 0))
-    return jnp.linalg.inv(M) if inv else M
+    return _finish(M, inv)
 
 
 @partial(jax.jit, static_argnums=(3, 4))
@@ -46,7 +59,7 @@ def _dense_ell(cols, vals, row_nnz, shape, inv):
     M = M.at[rows.reshape(-1),
              jnp.where(valid, cols, 0).reshape(-1)].add(
         jnp.where(valid, vals, 0).reshape(-1))
-    return jnp.linalg.inv(M) if inv else M
+    return _finish(M, inv)
 
 
 @partial(jax.jit, static_argnums=(3, 4, 5))
@@ -62,7 +75,7 @@ def _dense_bell(cols, vals, row_nnz, shape, blocksize, inv):
     Mb = Mb.at[rows.reshape(-1), colsz.reshape(-1)].add(
         valsz.reshape(nb * W, br, bc))
     M = Mb.transpose(0, 2, 1, 3).reshape(n, m)
-    return jnp.linalg.inv(M) if inv else M
+    return _finish(M, inv)
 
 
 def _dispatch(A, inv):
@@ -81,7 +94,7 @@ def _dispatch(A, inv):
     # SELL and other containers: fall back through scipy on host
     from pyamg_tpu.sparse.matrix import to_scipy
     M = jnp.asarray(to_scipy(A).toarray())
-    return jnp.linalg.inv(M) if inv else M
+    return _finish(M, inv)
 
 
 def to_dense(A):
@@ -92,3 +105,8 @@ def to_dense(A):
 def inv_device(A):
     """Dense inverse of a sparse container, computed on device (setup)."""
     return _dispatch(A, True)
+
+
+def inv_device_checked(A):
+    """(inverse, max |M @ inv - I|, dense M) in one compiled program."""
+    return _dispatch(A, "inv_checked")
